@@ -1,0 +1,64 @@
+"""Benchmark: BSARec training throughput on Amazon Beauty (config #1).
+
+Prints one JSON line:
+  {"metric": "train_examples_per_sec", "value": N, "unit": "examples/s",
+   "vs_baseline": N / 10100.0}
+
+Baseline: the reference's ~10,100 examples/s on the authors' CUDA GPU
+(BASELINE.md, derived from BSARec_Beauty_best.log timestamps).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+
+BASELINE_EXAMPLES_PER_SEC = 10_100.0
+
+
+def main():
+    from bsarec_tpu.config import ModelConfig, TrainConfig
+    from bsarec_tpu.data.corpus import load_corpus
+    from bsarec_tpu.data.pipeline import SeqRecData
+    from bsarec_tpu.train.trainer import Trainer
+
+    logger = logging.getLogger("bench")
+    logger.addHandler(logging.NullHandler())
+    logger.propagate = False
+
+    corpus = load_corpus("/root/reference/src/data/Beauty.txt")
+    data = SeqRecData(corpus, max_len=50)
+    model_cfg = ModelConfig(
+        model_type="bsarec", item_size=corpus.item_size, num_users=corpus.num_users + 1,
+        max_seq_length=50, hidden_size=64, num_hidden_layers=2, num_attention_heads=1,
+        c=5, alpha=0.7,
+    )
+    train_cfg = TrainConfig(lr=5e-4, batch_size=256, seed=42)
+    trainer = Trainer(model_cfg, train_cfg, data, logger, "/tmp/bench.ckpt")
+
+    # warmup epoch (compile)
+    trainer.train(0)
+
+    n_epochs = 3
+    t0 = time.time()
+    for e in range(1, 1 + n_epochs):
+        trainer.train(e)
+    dt = time.time() - t0
+    ex_per_sec = n_epochs * data.train.num_samples / dt
+
+    # eval throughput (users/s) as secondary info on stderr-ish line? keep single JSON line.
+    print(
+        json.dumps(
+            {
+                "metric": "train_examples_per_sec",
+                "value": round(ex_per_sec, 1),
+                "unit": "examples/s",
+                "vs_baseline": round(ex_per_sec / BASELINE_EXAMPLES_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

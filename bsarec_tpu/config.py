@@ -1,0 +1,66 @@
+"""Typed run configuration.
+
+Replaces the reference's two-stage argparse Namespace
+(`src/utils.py:51-127`): one frozen dataclass carries base + per-model
+hyperparameters; the CLI fills it from flag-compatible arguments and
+derived dataset fields (`item_size`, `num_users`) the way
+`src/main.py:22-35` mutates its namespace.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    model_type: str = "bsarec"
+    item_size: int = 0  # max item id + 1 (row 0 = padding)
+    num_users: int = 0  # number of users + 1
+    max_seq_length: int = 50
+    hidden_size: int = 64
+    num_hidden_layers: int = 2
+    num_attention_heads: int = 2
+    hidden_act: str = "gelu"
+    hidden_dropout_prob: float = 0.5
+    attention_probs_dropout_prob: float = 0.5
+    initializer_range: float = 0.02
+    # --- bsarec ---
+    c: int = 3
+    alpha: float = 0.9
+    # --- bert4rec ---
+    mask_ratio: float = 0.2
+    # --- caser ---
+    nh: int = 8
+    nv: int = 4
+    reg_weight: float = 1e-4
+    # --- duorec / fearec (contrastive) ---
+    tau: float = 1.0
+    lmd: float = 0.1
+    lmd_sem: float = 0.1
+    ssl: str = "us_x"
+    sim: str = "dot"
+    # --- fearec ---
+    spatial_ratio: float = 0.1
+    global_ratio: float = 0.6
+    fredom_type: str = "us_x"
+    fredom: bool = True
+    # --- gru4rec ---
+    gru_hidden_size: int = 64
+
+    def replace(self, **kw) -> "ModelConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    lr: float = 0.001
+    batch_size: int = 256
+    epochs: int = 200
+    patience: int = 10
+    seed: int = 42
+    weight_decay: float = 0.0
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    log_freq: int = 1
+    eval_batch_size: int = 256

@@ -1,0 +1,138 @@
+"""Flag-compatible CLI entry.
+
+Usage parity with the reference (`src/main.py`, README.md:34-81):
+
+    python -m bsarec_tpu.main --data_name Beauty --model_type BSARec \
+        --c 5 --alpha 0.7 --lr 0.0005 --train_name BSARec_Beauty
+    python -m bsarec_tpu.main --data_name Beauty --do_eval \
+        --load_model BSARec_Beauty
+
+Two-stage parsing like `src/utils.py:51-127`: base flags first, then
+model-conditional flags registered from `--model_type`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from bsarec_tpu.config import ModelConfig, TrainConfig
+from bsarec_tpu.data.corpus import load_corpus
+from bsarec_tpu.data.pipeline import SeqRecData
+from bsarec_tpu.train.trainer import Trainer
+from bsarec_tpu.utils.logging import get_local_time, set_logger
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser()
+    # basic
+    parser.add_argument("--data_dir", default="/root/reference/src/data/", type=str)
+    parser.add_argument("--output_dir", default="output/", type=str)
+    parser.add_argument("--data_name", default="Beauty", type=str)
+    parser.add_argument("--do_eval", action="store_true")
+    parser.add_argument("--load_model", default=None, type=str)
+    parser.add_argument("--train_name", default=get_local_time(), type=str)
+    # train
+    parser.add_argument("--lr", default=0.001, type=float)
+    parser.add_argument("--batch_size", default=256, type=int)
+    parser.add_argument("--epochs", default=200, type=int)
+    parser.add_argument("--log_freq", default=1, type=int)
+    parser.add_argument("--patience", default=10, type=int)
+    parser.add_argument("--seed", default=42, type=int)
+    parser.add_argument("--weight_decay", default=0.0, type=float)
+    parser.add_argument("--adam_beta1", default=0.9, type=float)
+    parser.add_argument("--adam_beta2", default=0.999, type=float)
+    # model
+    parser.add_argument("--model_type", default="BSARec", type=str)
+    parser.add_argument("--max_seq_length", default=50, type=int)
+    parser.add_argument("--hidden_size", default=64, type=int)
+    parser.add_argument("--num_hidden_layers", default=2, type=int)
+    parser.add_argument("--hidden_act", default="gelu", type=str)
+    parser.add_argument("--num_attention_heads", default=2, type=int)
+    parser.add_argument("--attention_probs_dropout_prob", default=0.5, type=float)
+    parser.add_argument("--hidden_dropout_prob", default=0.5, type=float)
+    parser.add_argument("--initializer_range", default=0.02, type=float)
+
+    args, _ = parser.parse_known_args(argv)
+    mt = args.model_type.lower()
+    if mt == "bsarec":
+        parser.add_argument("--c", default=3, type=int)
+        parser.add_argument("--alpha", default=0.9, type=float)
+    elif mt == "bert4rec":
+        parser.add_argument("--mask_ratio", default=0.2, type=float)
+    elif mt == "caser":
+        parser.add_argument("--nh", default=8, type=int)
+        parser.add_argument("--nv", default=4, type=int)
+        parser.add_argument("--reg_weight", default=1e-4, type=float)
+    elif mt in ("duorec", "fearec"):
+        parser.add_argument("--tau", default=1.0, type=float)
+        parser.add_argument("--lmd", default=0.1, type=float)
+        parser.add_argument("--lmd_sem", default=0.1, type=float)
+        parser.add_argument("--ssl", default="us_x", type=str)
+        parser.add_argument("--sim", default="dot", type=str)
+        if mt == "fearec":
+            parser.add_argument("--spatial_ratio", default=0.1, type=float)
+            parser.add_argument("--global_ratio", default=0.6, type=float)
+            parser.add_argument("--fredom_type", default="us_x", type=str)
+            parser.add_argument("--fredom", default="True", type=str)
+    elif mt == "gru4rec":
+        parser.add_argument("--gru_hidden_size", default=64, type=int)
+    return parser.parse_args(argv)
+
+
+def configs_from_args(args, item_size: int, num_users: int):
+    model_fields = {f for f in ModelConfig.__dataclass_fields__}
+    overrides = {k: v for k, v in vars(args).items() if k in model_fields}
+    if "fredom" in overrides and isinstance(overrides["fredom"], str):
+        overrides["fredom"] = overrides["fredom"] == "True"
+    model_cfg = ModelConfig(
+        **overrides | {"item_size": item_size, "num_users": num_users}
+    )
+    train_cfg = TrainConfig(
+        lr=args.lr,
+        batch_size=args.batch_size,
+        epochs=args.epochs,
+        patience=args.patience,
+        seed=args.seed,
+        weight_decay=args.weight_decay,
+        adam_beta1=args.adam_beta1,
+        adam_beta2=args.adam_beta2,
+        log_freq=args.log_freq,
+    )
+    return model_cfg, train_cfg
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    os.makedirs(args.output_dir, exist_ok=True)
+    logger = set_logger(os.path.join(args.output_dir, args.train_name + ".log"))
+
+    corpus = load_corpus(os.path.join(args.data_dir, args.data_name + ".txt"))
+    data = SeqRecData(corpus, args.max_seq_length)
+    model_cfg, train_cfg = configs_from_args(
+        args, corpus.item_size, corpus.num_users + 1
+    )
+    logger.info(str(vars(args)))
+
+    checkpoint_path = os.path.join(args.output_dir, args.train_name + ".ckpt")
+    trainer = Trainer(model_cfg, train_cfg, data, logger, checkpoint_path)
+
+    if args.do_eval:
+        if args.load_model is None:
+            logger.info("No model input!")
+            return None
+        trainer.load(os.path.join(args.output_dir, args.load_model + ".ckpt"))
+        logger.info(f"Load model from {args.load_model} for test!")
+        scores, result_info = trainer.test(0)
+    else:
+        scores, result_info = trainer.fit()
+
+    logger.info(args.train_name)
+    logger.info(result_info)
+    return scores
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,165 @@
+"""Trainer orchestration.
+
+Mirrors the reference `Trainer` surface (`src/trainers.py:9-60`):
+`train(epoch)` / `valid(epoch)` / `test(epoch)` / `save` / `load`,
+plus a `fit()` driver implementing `src/main.py:51-64` (early stop on
+NDCG@20, reload best checkpoint, final test). Under the hood each
+epoch / eval pass is one jitted scan (see `train/loop.py`).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bsarec_tpu.config import ModelConfig, TrainConfig
+from bsarec_tpu.data.pipeline import SeqRecData
+from bsarec_tpu.models import build_model
+from bsarec_tpu.ops.topk import metrics_from_sums
+from bsarec_tpu.train import checkpoint as ckpt
+from bsarec_tpu.train.loop import build_eval_fn, build_train_epoch, make_optimizer
+from bsarec_tpu.utils.early_stopping import EarlyStopping
+
+CONTRASTIVE_MODELS = ("duorec", "fearec")
+
+
+class Trainer:
+    def __init__(
+        self,
+        model_cfg: ModelConfig,
+        train_cfg: TrainConfig,
+        data: SeqRecData,
+        logger,
+        checkpoint_path: str = "output/model.ckpt",
+    ):
+        self.model_cfg = model_cfg
+        self.train_cfg = train_cfg
+        self.data = data
+        self.logger = logger
+        self.checkpoint_path = checkpoint_path
+        self.with_sem = model_cfg.model_type.lower() in CONTRASTIVE_MODELS
+
+        self.model = build_model(model_cfg)
+        self.rng = jax.random.PRNGKey(train_cfg.seed)
+        self.np_rng = np.random.default_rng(train_cfg.seed)
+
+        init_rng, self.rng = jax.random.split(self.rng)
+        dummy = jnp.zeros((2, model_cfg.max_seq_length), jnp.int32)
+        variables = self.model.init(
+            {"params": init_rng, "dropout": init_rng}, dummy, train=False
+        )
+        self.params = variables["params"]
+        self.tx = make_optimizer(train_cfg)
+        self.opt_state = self.tx.init(self.params)
+
+        n_params = sum(x.size for x in jax.tree.leaves(self.params))
+        logger.info(f"Total Parameters: {n_params}")
+
+        # datasets live in HBM for the whole run
+        self._train_dev = {
+            "inputs": jnp.asarray(data.train.input_ids),
+            "answers": jnp.asarray(data.train.answers),
+            "users": jnp.asarray(data.train.user_ids),
+        }
+        self._eval_dev = {}
+        for split_name in ("valid", "test"):
+            split = getattr(data, split_name)
+            self._eval_dev[split_name] = {
+                "inputs": jnp.asarray(split.input_ids),
+                "answers": jnp.asarray(split.answers),
+                "seen": jnp.asarray(split.seen_items),
+            }
+
+        self._epoch_fn, self.steps_per_epoch = build_train_epoch(
+            self.model,
+            self.tx,
+            model_cfg.item_size,
+            train_cfg.batch_size,
+            data.train.num_samples,
+            self.with_sem,
+        )
+        self._eval_fn, _ = build_eval_fn(
+            self.model,
+            model_cfg.item_size,
+            train_cfg.eval_batch_size,
+            data.valid.num_users,
+        )
+        self._zero_sem = jnp.zeros((data.train.num_samples, 0), jnp.int32)
+
+    # ---- reference-API surface -----------------------------------------
+    def train(self, epoch: int) -> float:
+        key, self.rng = jax.random.split(self.rng)
+        if self.with_sem:
+            sem = jnp.asarray(self.data.sample_same_target(self.np_rng))
+        else:
+            sem = self._zero_sem
+        self.params, self.opt_state, loss = self._epoch_fn(
+            self.params,
+            self.opt_state,
+            key,
+            self._train_dev["inputs"],
+            self._train_dev["answers"],
+            self._train_dev["users"],
+            sem,
+        )
+        loss = float(loss)
+        if (epoch + 1) % self.train_cfg.log_freq == 0:
+            self.logger.info(str({"epoch": epoch, "rec_loss": f"{loss:.4f}"}))
+        return loss
+
+    def _evaluate(self, split: str, epoch: int):
+        dev = self._eval_dev[split]
+        sums = self._eval_fn(self.params, dev["inputs"], dev["answers"], dev["seen"])
+        metrics = metrics_from_sums(np.asarray(sums))
+        post_fix = {"Epoch": epoch}
+        for k in (5, 10, 20):
+            post_fix[f"HR@{k}"] = f"{metrics[f'HR@{k}']:.4f}"
+            post_fix[f"NDCG@{k}"] = f"{metrics[f'NDCG@{k}']:.4f}"
+        self.logger.info(str(post_fix))
+        scores = [
+            metrics["HR@5"], metrics["NDCG@5"],
+            metrics["HR@10"], metrics["NDCG@10"],
+            metrics["HR@20"], metrics["NDCG@20"],
+        ]
+        return scores, str(post_fix)
+
+    def valid(self, epoch: int):
+        return self._evaluate("valid", epoch)
+
+    def test(self, epoch: int):
+        return self._evaluate("test", epoch)
+
+    def save(self, path: str | None = None):
+        ckpt.save_params(self.params, path or self.checkpoint_path)
+
+    def load(self, path: str | None = None, filter_fn=None):
+        self.params = ckpt.load_params(self.params, path or self.checkpoint_path, filter_fn)
+
+    # ---- full run (reference: src/main.py:51-64) ------------------------
+    def fit(self):
+        stopper = EarlyStopping(
+            save_fn=lambda _: self.save(),
+            logger=self.logger,
+            patience=self.train_cfg.patience,
+        )
+        for epoch in range(self.train_cfg.epochs):
+            t0 = time.time()
+            self.train(epoch)
+            t1 = time.time()
+            scores, _ = self.valid(epoch)
+            t2 = time.time()
+            self.logger.info(
+                f"epoch {epoch}: train {t1 - t0:.2f}s "
+                f"({self.data.train.num_samples / (t1 - t0):.0f} ex/s), eval {t2 - t1:.2f}s"
+            )
+            stopper(np.array(scores[-1:]), None)
+            if stopper.early_stop:
+                self.logger.info("Early stopping")
+                break
+        self.logger.info("---------------Test Score---------------")
+        self.load()
+        scores, result_info = self.test(0)
+        return scores, result_info

@@ -1,0 +1,135 @@
+"""Masks, losses, top-k eval vs closed-form / numpy ground truth."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bsarec_tpu.ops.losses import (
+    bpr_loss,
+    full_softmax_ce,
+    info_nce_logits,
+    pair_bce_masked,
+    pair_logsigmoid_bce,
+)
+from bsarec_tpu.ops.masks import bidirectional_additive_mask, causal_additive_mask
+from bsarec_tpu.ops.topk import EVAL_KS, masked_topk, metrics_from_sums, topk_metrics
+
+
+def test_causal_mask():
+    ids = jnp.array([[0, 0, 3, 4], [1, 2, 3, 4]], dtype=jnp.int32)
+    mask = np.asarray(causal_additive_mask(ids))
+    assert mask.shape == (2, 1, 4, 4)
+    # row 2 (query pos 2) of batch 0: keys 0,1 are padding -> -1e4; key 2 ok; key 3 future
+    np.testing.assert_array_equal(mask[0, 0, 2], [-10000.0, -10000.0, 0.0, -10000.0])
+    # full batch 1: lower-triangular zeros
+    want = np.where(np.tril(np.ones((4, 4))) > 0, 0.0, -10000.0)
+    np.testing.assert_array_equal(mask[1, 0], want)
+
+
+def test_bidirectional_mask():
+    ids = jnp.array([[0, 2, 0, 4]], dtype=jnp.int32)
+    mask = np.asarray(bidirectional_additive_mask(ids))
+    assert mask.shape == (1, 1, 1, 4)
+    np.testing.assert_array_equal(mask[0, 0, 0], [-10000.0, 0.0, -10000.0, 0.0])
+
+
+def test_full_softmax_ce_matches_numpy():
+    rng = np.random.default_rng(0)
+    state = rng.normal(size=(6, 8)).astype(np.float32)
+    table = rng.normal(size=(30, 8)).astype(np.float32)
+    answers = rng.integers(1, 30, size=6)
+    got = float(full_softmax_ce(jnp.asarray(state), jnp.asarray(table), jnp.asarray(answers)))
+    logits = state @ table.T
+    logz = np.log(np.exp(logits - logits.max(1, keepdims=True)).sum(1)) + logits.max(1)
+    want = float(np.mean(logz - logits[np.arange(6), answers]))
+    assert abs(got - want) < 1e-5
+
+
+def test_pair_losses_closed_form():
+    pos = jnp.array([1.0, -2.0, 0.5])
+    neg = jnp.array([0.3, 0.1, -1.0])
+    ids = jnp.array([5, 7, 9])
+
+    got = float(pair_bce_masked(pos, neg, ids))
+    sp = lambda x: np.log1p(np.exp(-np.abs(x))) + np.maximum(-x, 0)  # softplus(-x)
+    want = float(np.mean(sp(np.asarray(pos))) + np.mean(sp(-np.asarray(neg))))
+    assert abs(got - want) < 1e-6
+
+    got = float(bpr_loss(pos, neg))
+    want = float(np.mean(-np.log(1e-10 + 1 / (1 + np.exp(-(np.asarray(pos) - np.asarray(neg)))))))
+    assert abs(got - want) < 1e-6
+
+    got = float(pair_logsigmoid_bce(pos, neg))
+    sig = lambda x: 1 / (1 + np.exp(-x))
+    want = float(np.mean(-np.log(sig(np.asarray(pos)) + 1e-24) - np.log(1 - sig(np.asarray(neg)) + 1e-24)))
+    assert abs(got - want) < 1e-6
+
+
+def test_info_nce_matches_reference_construction():
+    """Direct numpy re-derivation of duorec.py:47-74 (dot sim)."""
+    rng = np.random.default_rng(1)
+    b, h = 5, 8
+    z_i = rng.normal(size=(b, h)).astype(np.float32)
+    z_j = rng.normal(size=(b, h)).astype(np.float32)
+    temp = 0.7
+    got = float(info_nce_logits(jnp.asarray(z_i), jnp.asarray(z_j), temp, "dot"))
+
+    z = np.concatenate([z_i, z_j], 0)
+    sim = (z @ z.T) / temp
+    n = 2 * b
+    mask = np.ones((n, n), dtype=bool)
+    np.fill_diagonal(mask, False)
+    for i in range(b):
+        mask[i, b + i] = False
+        mask[b + i, i] = False
+    losses = []
+    for i in range(n):
+        pos = sim[i, (i + b) % n]
+        negs = sim[i][mask[i]]
+        row = np.concatenate([[pos], negs])
+        m = row.max()
+        losses.append(-(pos - m) + np.log(np.exp(row - m).sum()))
+    want = float(np.mean(losses))
+    assert abs(got - want) < 1e-4
+
+
+def test_masked_topk_and_metrics_match_reference_eval():
+    """Emulates src/trainers.py:126-149 + src/metrics.py in numpy."""
+    rng = np.random.default_rng(2)
+    b, v = 16, 300
+    scores = rng.normal(size=(b, v)).astype(np.float32)
+    seen = rng.integers(1, v, size=(b, 7)).astype(np.int32)
+    seen[:, -2:] = 0  # padding entries
+    answers = rng.integers(1, v, size=b).astype(np.int32)
+    # ensure answers are not 'seen'
+    for i in range(b):
+        while answers[i] in seen[i]:
+            answers[i] = rng.integers(1, v)
+
+    _, topk_idx = masked_topk(jnp.asarray(scores), jnp.asarray(seen))
+    sums = topk_metrics(topk_idx, jnp.asarray(answers), jnp.ones((b,)))
+    got = metrics_from_sums(np.asarray(sums))
+
+    ref = scores.copy()
+    for i in range(b):
+        ref[i, seen[i]] = 0.0
+    ind = np.argpartition(ref, -20)[:, -20:]
+    arr = ref[np.arange(b)[:, None], ind]
+    order = np.argsort(arr)[np.arange(b), ::-1]
+    pred = ind[np.arange(b)[:, None], order]
+
+    import math
+
+    for k in EVAL_KS:
+        hr = np.mean([answers[i] in pred[i][:k] for i in range(b)])
+        ndcg = np.mean(
+            [
+                sum(
+                    int(pred[i][j] == answers[i]) / math.log(j + 2, 2)
+                    for j in range(k)
+                )
+                for i in range(b)
+            ]
+        )
+        assert abs(got[f"HR@{k}"] - hr) < 1e-6, k
+        assert abs(got[f"NDCG@{k}"] - ndcg) < 1e-5, k

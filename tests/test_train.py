@@ -1,0 +1,94 @@
+"""Training-loop behavior: negative sampling, epoch scan, end-to-end fit."""
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bsarec_tpu.config import ModelConfig, TrainConfig
+from bsarec_tpu.data.corpus import Corpus
+from bsarec_tpu.data.pipeline import SeqRecData
+from bsarec_tpu.train.loop import sample_negatives
+from bsarec_tpu.train.trainer import Trainer
+
+
+def test_sample_negatives_excludes_sample_items():
+    key = jax.random.PRNGKey(0)
+    inputs = jnp.asarray(
+        np.tile(np.concatenate([np.zeros(40, np.int32), np.arange(1, 11, dtype=np.int32)]), (64, 1))
+    )
+    answers = jnp.full((64,), 11, jnp.int32)
+    neg = np.asarray(sample_negatives(key, inputs, answers, item_size=20))
+    assert ((neg >= 1) & (neg < 20)).all()
+    assert not np.isin(neg, np.arange(1, 12)).any()
+
+
+def synthetic_corpus(n_users=60, n_items=30, seed=0):
+    """Deterministic-pattern sequences a tiny model can learn."""
+    rng = np.random.default_rng(seed)
+    seqs = []
+    for u in range(n_users):
+        start = rng.integers(1, n_items - 1)
+        length = rng.integers(5, 12)
+        seq = [(start + i) % (n_items - 1) + 1 for i in range(length)]
+        seqs.append(seq)
+    return Corpus(user_seq=seqs, max_item=n_items)
+
+
+def _quiet_logger():
+    logger = logging.getLogger("test_trainer")
+    logger.addHandler(logging.NullHandler())
+    logger.propagate = False
+    return logger
+
+
+def test_trainer_end_to_end_learns(tmp_path):
+    corpus = synthetic_corpus()
+    data = SeqRecData(corpus, max_len=10)
+    model_cfg = ModelConfig(
+        model_type="bsarec", item_size=corpus.item_size, num_users=corpus.num_users + 1,
+        max_seq_length=10, hidden_size=16, num_hidden_layers=1, num_attention_heads=1,
+        hidden_dropout_prob=0.1, attention_probs_dropout_prob=0.1, c=3, alpha=0.7,
+    )
+    train_cfg = TrainConfig(lr=0.01, batch_size=32, epochs=15, patience=30, seed=42, log_freq=100)
+    trainer = Trainer(model_cfg, train_cfg, data, _quiet_logger(), str(tmp_path / "m.ckpt"))
+
+    loss0 = trainer.train(0)
+    for e in range(1, 15):
+        loss = trainer.train(e)
+    assert loss < loss0, (loss0, loss)
+    scores, _ = trainer.valid(0)
+    # next item is fully deterministic — a fitted model should rank it highly
+    assert scores[2] > 0.5  # HR@10
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    corpus = synthetic_corpus()
+    data = SeqRecData(corpus, max_len=10)
+    model_cfg = ModelConfig(
+        model_type="sasrec", item_size=corpus.item_size, num_users=corpus.num_users + 1,
+        max_seq_length=10, hidden_size=16, num_hidden_layers=1, num_attention_heads=1,
+    )
+    train_cfg = TrainConfig(lr=0.005, batch_size=32, epochs=2, seed=1, log_freq=100)
+    trainer = Trainer(model_cfg, train_cfg, data, _quiet_logger(), str(tmp_path / "m.ckpt"))
+    trainer.train(0)
+    s1, _ = trainer.valid(0)
+    trainer.save()
+    trainer.train(1)  # mutate params
+    trainer.load()
+    s2, _ = trainer.valid(0)
+    np.testing.assert_allclose(s1, s2, rtol=1e-6)
+
+
+def test_contrastive_model_trains(tmp_path):
+    corpus = synthetic_corpus()
+    data = SeqRecData(corpus, max_len=10)
+    model_cfg = ModelConfig(
+        model_type="duorec", item_size=corpus.item_size, num_users=corpus.num_users + 1,
+        max_seq_length=10, hidden_size=16, num_hidden_layers=1, num_attention_heads=1,
+    )
+    train_cfg = TrainConfig(lr=0.005, batch_size=32, epochs=1, seed=1, log_freq=100)
+    trainer = Trainer(model_cfg, train_cfg, data, _quiet_logger(), str(tmp_path / "m.ckpt"))
+    loss = trainer.train(0)
+    assert np.isfinite(loss)
