@@ -1,0 +1,172 @@
+"""PREPRec CLI (flag-compatible subset of `repo-b/parse.py` /
+`repo-b/main.py`).
+
+    python -m bsarec_tpu.preprec.main --dataset douban/douban_music \
+        --model newrec --data_dir ./data
+    python -m bsarec_tpu.preprec.main --dataset <target> --model newrec \
+        --transfer --inference_only --state_dict_path res/<src>/train/best.ckpt
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+import numpy as np
+
+from bsarec_tpu.preprec.config import PrepRecConfig, PrepRecTrainConfig
+from bsarec_tpu.preprec.data import load_intwtime, load_userneg
+from bsarec_tpu.preprec.evaluate import build_eval_inputs, metrics_from_ranks, mostpop_ranks
+from bsarec_tpu.preprec.popularity import EvalPopularity, PopularityEncoding
+from bsarec_tpu.preprec.train import PrepRecTrainer
+
+
+def parse(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset", required=True)
+    p.add_argument("--data_dir", default="./data", type=str)
+    p.add_argument("--train_dir", default="test", type=str)
+    p.add_argument("--batch_size", default=128, type=int)
+    p.add_argument("--lr", default=0.001, type=float)
+    p.add_argument("--wd", default=1e-5, type=float)
+    p.add_argument("--maxlen", default=200, type=int)
+    p.add_argument("--hidden_units", default=50, type=int)
+    p.add_argument("--num_blocks", default=2, type=int)
+    p.add_argument("--num_epochs", default=80, type=int)
+    p.add_argument("--epoch_test", default=4, type=int)
+    p.add_argument("--stop_early", default=3, type=int)
+    p.add_argument("--num_heads", default=1, type=int)
+    p.add_argument("--dropout_rate", default=0.2, type=float)
+    p.add_argument("--inference_only", action="store_true")
+    p.add_argument("--train_only", action="store_true")
+    p.add_argument("--mode", default="test", type=str)
+    p.add_argument("--prev_time", action="store_true")
+    p.add_argument("--no_valid_in_test", action="store_true")
+    p.add_argument("--state_dict_path", default=None, type=str)
+    p.add_argument("--model", default="newrec", type=str)
+    p.add_argument("--monthpop", default="wtembed", type=str)
+    p.add_argument("--weekpop", default="week_embed2", type=str)
+    p.add_argument("--use_week_eval", action="store_true")
+    p.add_argument("--week_eval_pop", default="week_wt_embed_adj", type=str)
+    p.add_argument("--rawpop", default="rawpop", type=str)
+    p.add_argument("--userpop", default="lastuserpop", type=str)
+    p.add_argument("--userneg", default="userneg", type=str)
+    p.add_argument("--base_dim1", default=11, type=int)
+    p.add_argument("--input_units1", default=132, type=int)
+    p.add_argument("--base_dim2", default=6, type=int)
+    p.add_argument("--input_units2", default=6, type=int)
+    p.add_argument("--mask_prob", default=0.0, type=float)
+    p.add_argument("--seed", default=2023, type=int)
+    p.add_argument("--topk", "--list", nargs="+", default=[10, 5, 1], type=int)
+    p.add_argument("--transfer", action="store_true")
+    p.add_argument("--fs_transfer", action="store_true")
+    p.add_argument("--fs_prop", default=1.0, type=float)
+    p.add_argument("--loss_size", default=250, type=int)
+    p.add_argument("--no_emb", action="store_true")
+    p.add_argument("--no_fixed_emb", action="store_true")
+    p.add_argument("--eval_method", default=1, type=int)
+    p.add_argument("--eval_quality", action="store_true")
+    p.add_argument("--quality_size", default=20, type=int)
+    p.add_argument("--triplet_loss", action="store_true")
+    p.add_argument("--cos_loss", action="store_true")
+    p.add_argument("--reg_file", default="userhist", type=str)
+    p.add_argument("--reg_num", default=10, type=int)
+    p.add_argument("--reg_coef", default=1.0, type=float)
+    p.add_argument("--only_reg", action="store_true")
+    p.add_argument("--lag", default=1, type=int)
+    p.add_argument("--time_embed", action="store_true")
+    p.add_argument("--time_no_fixed_embed", action="store_true")
+    p.add_argument("--time_embed_concat", action="store_true")
+    p.add_argument("--aug_coef", default=0.1, type=float)
+    p.add_argument("--sparse", action="store_true")
+    p.add_argument("--override_sparse", action="store_true")
+    p.add_argument("--save_ranks", action="store_true")
+    p.add_argument("--ranks_name", default="ranks", type=str)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse(argv)
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s - %(message)s")
+    logger = logging.getLogger("preprec")
+
+    prefix = os.path.join(args.data_dir, args.dataset)
+    ds = load_intwtime(f"{prefix}_intwtime.csv", args.maxlen, sparse=args.sparse)
+
+    cfg = PrepRecConfig(
+        model=args.model, usernum=ds.usernum, itemnum=ds.itemnum,
+        maxlen=args.maxlen, hidden_units=args.hidden_units,
+        num_blocks=args.num_blocks, num_heads=args.num_heads,
+        dropout_rate=args.dropout_rate, base_dim1=args.base_dim1,
+        input_units1=args.input_units1, base_dim2=args.base_dim2,
+        input_units2=args.input_units2, lag=args.lag,
+        prev_time=args.prev_time, use_week_eval=args.use_week_eval,
+        no_emb=args.no_emb, no_fixed_emb=args.no_fixed_emb,
+        time_embed=args.time_embed, time_no_fixed_embed=args.time_no_fixed_embed,
+        time_embed_concat=args.time_embed_concat, mask_prob=args.mask_prob,
+        loss_size=args.loss_size, aug_coef=args.aug_coef,
+        triplet_loss=args.triplet_loss, cos_loss=args.cos_loss,
+        reg_num=args.reg_num, reg_coef=args.reg_coef, only_reg=args.only_reg,
+        eval_method=args.eval_method, topk=tuple(args.topk),
+        sparse=args.sparse, override_sparse=args.override_sparse,
+        no_valid_in_test=args.no_valid_in_test,
+        eval_quality=args.eval_quality, quality_size=args.quality_size,
+    )
+    tcfg = PrepRecTrainConfig(
+        lr=args.lr, wd=args.wd, batch_size=args.batch_size,
+        num_epochs=args.num_epochs, epoch_test=args.epoch_test,
+        stop_early=args.stop_early, seed=args.seed, fs_prop=args.fs_prop,
+    )
+
+    usernegs = None
+    if args.eval_method == 1:
+        usernegs = load_userneg(f"{prefix}_{args.userneg}.pickle", ds.usernum)
+
+    if args.model == "mostpop":
+        rawpop = np.loadtxt(f"{prefix}_{args.rawpop}.txt").reshape(-1)
+        inputs = build_eval_inputs(ds, cfg, args.mode, usernegs)
+        ranks = mostpop_ranks(inputs, rawpop, np.random.default_rng(args.seed))
+        metrics = metrics_from_ranks(ranks, cfg.topk)
+        for (ndcg, hr), k in zip(metrics, cfg.topk):
+            logger.info(f"{args.mode} NDCG@{k}: {ndcg}, HR@{k}: {hr}")
+        return metrics
+
+    pop_enc = eval_pop = None
+    if args.model in ("newrec", "newb4rec"):
+        pop_enc = PopularityEncoding.load(
+            f"{prefix}_{args.monthpop}.txt", f"{prefix}_{args.weekpop}.txt", cfg
+        )
+        if args.use_week_eval:
+            eval_pop = EvalPopularity.load(
+                f"{prefix}_{args.monthpop}.txt", f"{prefix}_{args.week_eval_pop}.txt", cfg
+            )
+
+    user_feat = None
+    if args.triplet_loss or args.cos_loss:
+        user_feat = np.loadtxt(f"{prefix}_{args.reg_file}.txt")
+
+    write = os.path.join("res", args.dataset, args.train_dir)
+    trainer = PrepRecTrainer(
+        cfg, tcfg, ds, logger, write, pop_enc, eval_pop, usernegs, user_feat
+    )
+
+    if args.state_dict_path:
+        trainer.load_transfer(args.state_dict_path)
+        logger.info(f"loaded transfer weights from {args.state_dict_path}")
+
+    if args.inference_only:
+        metrics, ranks = trainer.evaluate(args.mode)
+        for (ndcg, hr), k in zip(metrics, cfg.topk):
+            logger.info(f"{args.mode} NDCG@{k}: {ndcg}, HR@{k}: {hr}")
+    else:
+        metrics, ranks = trainer.fit()
+
+    if args.save_ranks:
+        np.savetxt(os.path.join(write, f"{args.ranks_name}.txt"), ranks)
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,408 @@
+"""PREPRec training driver (reference: `repo-b/train_test.py`).
+
+Per-model loss branches, validation every `epoch_test` epochs with
+NDCG@topk[0] early stopping (patience `stop_early`), periodic +
+best checkpoints, final test from the best state, zero/few-shot
+transfer. Epochs run as single jitted scans over device-resident data;
+see `sampler.py` for batch semantics.
+
+Divergences from the reference, on purpose:
+- `model.py:181`'s `mod_time2 = time1_seqs[:,1:]` (month times reused
+  for the week table when prev_time=False) is implemented correctly
+  with `time2_seqs[:,1:]`.
+- NewB4Rec's sampled-softmax target appends the true *label* item
+  rather than the (possibly masked-to-0) input token (`model.py:382`).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from bsarec_tpu.preprec.config import PrepRecConfig, PrepRecTrainConfig
+from bsarec_tpu.preprec.data import PrepRecDataset
+from bsarec_tpu.preprec.evaluate import (
+    build_eval_inputs,
+    grouped_metrics,
+    make_eval_fn,
+    metrics_from_ranks,
+)
+from bsarec_tpu.preprec.models import PREPREC_REGISTRY
+from bsarec_tpu.preprec.sampler import (
+    augment_batch,
+    cloze_mask,
+    draw_user_batches,
+    permute_user_items,
+    positional_negatives,
+)
+from bsarec_tpu.train import checkpoint as ckpt
+
+
+def masked_pair_bce(pos_logits, neg_logits, valid):
+    denom = jnp.maximum(jnp.sum(valid), 1.0)
+    pos = jnp.sum(jax.nn.softplus(-pos_logits) * valid) / denom
+    neg = jnp.sum(jax.nn.softplus(neg_logits) * valid) / denom
+    return pos + neg
+
+
+class PrepRecTrainer:
+    def __init__(
+        self,
+        cfg: PrepRecConfig,
+        tcfg: PrepRecTrainConfig,
+        dataset: PrepRecDataset,
+        logger,
+        write_dir: str,
+        pop_enc=None,
+        eval_pop=None,
+        usernegs: np.ndarray | None = None,
+        user_feat: np.ndarray | None = None,  # [F, U] trajectory features for reg loss
+    ):
+        self.cfg, self.tcfg, self.ds = cfg, tcfg, dataset
+        self.logger, self.write_dir = logger, write_dir
+        self.pop_enc, self.eval_pop = pop_enc, eval_pop
+        self.usernegs = usernegs
+        os.makedirs(write_dir, exist_ok=True)
+
+        self.model = PREPREC_REGISTRY[cfg.model](cfg)
+        self.rng = jax.random.PRNGKey(tcfg.seed)
+        self.np_rng = np.random.default_rng(tcfg.seed)
+
+        self.params = self._init_params()
+        # torch.optim.Adam(lr, betas=(0.9, 0.98), weight_decay=wd)
+        # (`train_test.py:12-14`)
+        chain = []
+        if tcfg.wd:
+            chain.append(optax.add_decayed_weights(tcfg.wd))
+        chain.append(optax.scale_by_adam(b1=0.9, b2=0.98, eps=1e-8))
+        chain.append(optax.scale(-tcfg.lr))
+        self.tx = optax.chain(*chain)
+        self.opt_state = self.tx.init(self.params)
+
+        self.num_batch = dataset.usernum // tcfg.batch_size
+        self._dev = {
+            "train_seq": jnp.asarray(dataset.train_seq),
+            "train_t1": jnp.asarray(dataset.train_t1),
+            "train_t2": jnp.asarray(dataset.train_t2),
+            "train_te": jnp.asarray(dataset.train_te),
+        }
+        self.user_feat = None if user_feat is None else jnp.asarray(user_feat.T)  # [U, F]
+        self._epoch_fn = self._build_epoch_fn()
+        self._eval_arrays = {}
+        self._eval_fn = None
+
+    # ---- init -----------------------------------------------------------
+    def _init_params(self):
+        cfg = self.cfg
+        key = jax.random.PRNGKey(0)
+        b, t = 2, cfg.maxlen
+        ids = jnp.ones((b, t), jnp.int32)
+        feats_dim = cfg.input_units1 + cfg.input_units2
+        feats = jnp.zeros((b, t, feats_dim))
+        rngs = {"params": key, "dropout": key}
+        name = cfg.model
+        if name == "newrec":
+            variables = self.model.init(
+                rngs, feats, ids == 0, feats, feats,
+                ids if cfg.time_embed else None, train=False,
+            )
+            # embed_layer.fc1.bias zero-init (repo-b/main.py:126-131)
+            variables = jax.tree_util.tree_map(lambda x: x, variables)
+            params = variables["params"]
+            params["embed_layer"]["fc1"]["bias"] = jnp.zeros_like(
+                params["embed_layer"]["fc1"]["bias"]
+            )
+            return params
+        if name == "newb4rec":
+            cand = jnp.zeros((b, t, 3, feats_dim))
+            return self.model.init(rngs, feats, ids > 0, cand, train=False)["params"]
+        if name == "sasrec" or name == "cl4srec":
+            if name == "cl4srec":
+                return self.model.init(rngs, ids, ids, ids, ids, ids, train=False)["params"]
+            return self.model.init(rngs, ids, ids, ids, train=False)["params"]
+        if name == "bert4rec":
+            return self.model.init(rngs, ids, train=False)["params"]
+        if name == "bprmf":
+            u = jnp.ones((b,), jnp.int32)
+            return self.model.init(rngs, u, ids, ids, train=False)["params"]
+        raise ValueError(name)
+
+    # ---- per-model jitted epoch ------------------------------------------
+    def _build_epoch_fn(self):
+        cfg, tcfg = self.cfg, self.tcfg
+        model, tx = self.model, self.tx
+        pop = self.pop_enc
+        itemnum = self.ds.itemnum
+        maxlen = cfg.maxlen
+        user_feat = self.user_feat
+
+        def newrec_loss(params, users, key):
+            rows = self._dev["train_seq"][users - 1]  # [B, L+1]
+            t1 = jnp.maximum(0, self._dev["train_t1"][users - 1] - 1 - cfg.lag // 4)
+            t2 = jnp.maximum(0, self._dev["train_t2"][users - 1] - cfg.lag)
+            te = self._dev["train_te"][users - 1]
+            seq, pos = rows[:, :-1], rows[:, 1:]
+            neg = positional_negatives(key, rows, pos, itemnum)
+            seq_feats = pop(seq, t1[:, :-1], t2[:, :-1])
+            if cfg.prev_time:
+                m1, m2 = t1[:, :-1], t2[:, :-1]
+            else:
+                m1, m2 = t1[:, 1:], t2[:, 1:]
+            pos_feats, neg_feats = pop(pos, m1, m2), pop(neg, m1, m2)
+
+            def loss_fn(p, dkey):
+                pos_l, neg_l, feats = model.apply(
+                    {"params": p}, seq_feats, seq == 0, pos_feats, neg_feats,
+                    te if cfg.time_embed else None, train=True,
+                    rngs={"dropout": dkey},
+                )
+                loss = 0.0
+                if not cfg.only_reg:
+                    loss = masked_pair_bce(pos_l, neg_l, (pos != 0).astype(jnp.float32))
+                if (cfg.triplet_loss or cfg.cos_loss) and user_feat is not None:
+                    # nearest/farthest in-batch users by trajectory distance
+                    # (`train_test.py:93-101`, `model.py:241-269`)
+                    f = user_feat[users - 1]  # [B, F]
+                    d = jnp.sqrt(jnp.sum((f[:, None] - f[None]) ** 2, -1) + 1e-12)
+                    _, pos_u = jax.lax.top_k(-d, cfg.reg_num)
+                    _, neg_u = jax.lax.top_k(d, cfg.reg_num)
+                    anchor = feats[:, -1, :]
+                    pu, nu = anchor[pos_u], anchor[neg_u]  # [B, R, H]
+                    if cfg.triplet_loss:
+                        dp = jnp.linalg.norm(anchor[:, None] - pu, axis=-1)
+                        dn = jnp.linalg.norm(anchor[:, None] - nu, axis=-1)
+                        loss += cfg.reg_coef * jnp.mean(jnp.maximum(dp - dn, 0.0))
+                    if cfg.cos_loss:
+                        def cos(a, b):
+                            num = jnp.sum(a * b, -1)
+                            return num / (jnp.linalg.norm(a, axis=-1) * jnp.linalg.norm(b, axis=-1) + 1e-12)
+                        loss += cfg.reg_coef * jnp.mean(1 - cos(anchor[:, None], pu))
+                        loss += cfg.reg_coef * jnp.mean(jnp.maximum(cos(anchor[:, None], nu), 0.0))
+                return loss
+
+            return loss_fn
+
+        def sasrec_loss(params, users, key):
+            rows = self._dev["train_seq"][users - 1]
+            seq, pos = rows[:, :-1], rows[:, 1:]
+            neg = positional_negatives(key, rows, pos, itemnum)
+
+            def loss_fn(p, dkey):
+                pos_l, neg_l = model.apply(
+                    {"params": p}, seq, pos, neg, train=True, rngs={"dropout": dkey}
+                )
+                return masked_pair_bce(pos_l, neg_l, (pos != 0).astype(jnp.float32))
+
+            return loss_fn
+
+        def bert4rec_loss(params, users, key):
+            rows = self._dev["train_seq"][users - 1][:, 1:]
+            masked, labels = cloze_mask(key, rows, itemnum, cfg.mask_prob)
+
+            def loss_fn(p, dkey):
+                logits = model.apply({"params": p}, masked, train=True, rngs={"dropout": dkey})
+                logits = logits.reshape(-1, logits.shape[-1])
+                flat = labels.reshape(-1)
+                logz = jax.nn.logsumexp(logits, axis=-1)
+                gold = jnp.take_along_axis(logits, flat[:, None], axis=-1)[:, 0]
+                valid = (flat != 0).astype(jnp.float32)
+                return jnp.sum((logz - gold) * valid) / jnp.maximum(valid.sum(), 1.0)
+
+            return loss_fn
+
+        def newb4rec_loss(params, users, key):
+            compare = max(itemnum // cfg.loss_size, 1)
+            rows = self._dev["train_seq"][users - 1][:, 1:]
+            t1 = self._dev["train_t1"][users - 1][:, 1:]
+            t2 = self._dev["train_t2"][users - 1][:, 1:]
+            mkey, ckey = jax.random.split(key)
+            masked, labels = cloze_mask(mkey, rows, itemnum, cfg.mask_prob)
+            rand_c = jax.random.randint(
+                ckey, rows.shape + (compare,), 1, itemnum + 1, dtype=jnp.int32
+            )
+            cands = jnp.concatenate([rand_c, labels[..., None]], axis=-1)
+            ct1 = jnp.repeat(t1[..., None], compare + 1, axis=-1)
+            ct2 = jnp.repeat(t2[..., None], compare + 1, axis=-1)
+            seq_feats = pop(masked, t1, t2)
+            cand_feats = pop(cands, ct1, ct2)
+
+            def loss_fn(p, dkey):
+                logp = model.apply(
+                    {"params": p}, seq_feats, masked > 0, cand_feats,
+                    train=True, rngs={"dropout": dkey},
+                )
+                valid = (labels.reshape(-1) != 0).astype(jnp.float32)
+                gold = logp[:, -1]  # appended label column
+                return -jnp.sum(gold * valid) / jnp.maximum(valid.sum(), 1.0)
+
+            return loss_fn
+
+        def bprmf_loss(params, users, key):
+            pkey, nkey = jax.random.split(key)
+            rows = self._dev["train_seq"][users - 1]
+            pos = permute_user_items(pkey, rows)
+            neg = positional_negatives(nkey, rows, pos, itemnum)
+
+            def loss_fn(p, dkey):
+                pos_l, neg_l = model.apply({"params": p}, users, pos, neg, train=True)
+                valid = pos != 0
+                # reference sums (train_test.py:211)
+                return -jnp.sum(jnp.where(valid, jax.nn.log_sigmoid(pos_l - neg_l), 0.0))
+
+            return loss_fn
+
+        loss_builders = {
+            "newrec": newrec_loss,
+            "sasrec": sasrec_loss,
+            "bert4rec": bert4rec_loss,
+            "newb4rec": newb4rec_loss,
+            "bprmf": bprmf_loss,
+        }
+
+        if cfg.model == "cl4srec":
+            def epoch_cl4(params, opt_state, key, user_mat, aug1, aug2):
+                def body(carry, xs):
+                    params, opt_state, loss_sum = carry
+                    users, a1, a2, step = xs
+                    skey = jax.random.fold_in(key, step)
+                    nkey, dkey = jax.random.split(skey)
+                    rows = self._dev["train_seq"][users - 1]
+                    seq, pos = rows[:, :-1], rows[:, 1:]
+                    neg = positional_negatives(nkey, rows, pos, itemnum)
+
+                    def loss_fn(p):
+                        pos_l, neg_l, aug = model.apply(
+                            {"params": p}, seq, a1, a2, pos, neg,
+                            train=True, rngs={"dropout": dkey},
+                        )
+                        bce = masked_pair_bce(pos_l, neg_l, (pos != 0).astype(jnp.float32))
+                        return bce + cfg.aug_coef * aug
+
+                    loss, grads = jax.value_and_grad(loss_fn)(params)
+                    updates, opt_state = tx.update(grads, opt_state, params)
+                    params = optax.apply_updates(params, updates)
+                    return (params, opt_state, loss_sum + loss), None
+
+                steps = user_mat.shape[0]
+                (params, opt_state, loss_sum), _ = jax.lax.scan(
+                    body, (params, opt_state, 0.0),
+                    (user_mat, aug1, aug2, jnp.arange(steps)),
+                )
+                return params, opt_state, loss_sum / steps
+
+            return jax.jit(epoch_cl4, donate_argnums=(0, 1))
+
+        builder = loss_builders[cfg.model]
+
+        def epoch(params, opt_state, key, user_mat):
+            def body(carry, xs):
+                params, opt_state, loss_sum = carry
+                users, step = xs
+                skey = jax.random.fold_in(key, step)
+                nkey, dkey = jax.random.split(skey)
+                loss_fn = builder(params, users, nkey)
+                loss, grads = jax.value_and_grad(lambda p: loss_fn(p, dkey))(params)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state, loss_sum + loss), None
+
+            steps = user_mat.shape[0]
+            (params, opt_state, loss_sum), _ = jax.lax.scan(
+                body, (params, opt_state, 0.0), (user_mat, jnp.arange(steps))
+            )
+            return params, opt_state, loss_sum / steps
+
+        return jax.jit(epoch, donate_argnums=(0, 1))
+
+    # ---- API --------------------------------------------------------------
+    def train_epoch(self) -> float:
+        steps = max(int(self.num_batch * self.tcfg.fs_prop), 1)
+        users = draw_user_batches(
+            self.np_rng, self.ds.eligible_users, steps, self.tcfg.batch_size
+        )
+        key, self.rng = jax.random.split(self.rng)
+        if self.cfg.model == "cl4srec":
+            rows = self.ds.train_seq[users - 1][:, :, :-1]
+            lens = self.ds.seq_lens[users - 1] - 1  # seq excludes last target
+            flat = rows.reshape(-1, rows.shape[-1])
+            a1, a2 = augment_batch(self.np_rng, flat, np.maximum(lens.reshape(-1), 0))
+            a1 = a1.reshape(rows.shape)
+            a2 = a2.reshape(rows.shape)
+            self.params, self.opt_state, loss = self._epoch_fn(
+                self.params, self.opt_state, key, jnp.asarray(users),
+                jnp.asarray(a1), jnp.asarray(a2),
+            )
+        else:
+            self.params, self.opt_state, loss = self._epoch_fn(
+                self.params, self.opt_state, key, jnp.asarray(users)
+            )
+        return float(loss)
+
+    def _eval(self, mode: str):
+        if mode not in self._eval_arrays:
+            inputs = build_eval_inputs(self.ds, self.cfg, mode, self.usernegs)
+            self._eval_arrays[mode] = {
+                k: jnp.asarray(getattr(inputs, k))
+                for k in ("seqs", "t1", "t2", "te", "cands", "cand_t1", "cand_t2", "users")
+            }
+        if self._eval_fn is None:
+            batch = 64 if self.cfg.eval_method != 3 else 8
+            self._eval_fn, _ = make_eval_fn(
+                self.model, self.cfg, self.pop_enc, self.eval_pop, batch, self.ds.usernum
+            )
+        key, self.rng = jax.random.split(self.rng)
+        ranks = np.asarray(self._eval_fn(self.params, key, self._eval_arrays[mode]))
+        return ranks
+
+    def evaluate(self, mode: str, userpop: np.ndarray | None = None):
+        ranks = self._eval(mode)
+        metrics = metrics_from_ranks(ranks, self.cfg.topk)
+        if self.cfg.eval_quality and userpop is not None:
+            self.logger.info(str(grouped_metrics(ranks, userpop, self.cfg)))
+        return metrics, ranks
+
+    def fit(self, userpop=None):
+        cfg, tcfg = self.cfg, self.tcfg
+        best_ndcg, best_params, stop = 0.0, self.params, 0
+        mode = "valid" if not cfg.sparse or cfg.override_sparse else "test"
+        for epoch in range(1, tcfg.num_epochs + 1):
+            t0 = time.time()
+            loss = self.train_epoch()
+            self.logger.info(
+                f"epoch {epoch}: loss {loss:.4f} ({time.time() - t0:.2f}s)"
+            )
+            if epoch % tcfg.epoch_test == 0:
+                metrics, _ = self.evaluate(mode, userpop)
+                ndcg, hr = metrics[0]
+                self.logger.info(
+                    f"epoch {epoch} {mode}: NDCG@{cfg.topk[0]} {ndcg}, HR@{cfg.topk[0]} {hr}"
+                )
+                ckpt.save_params(self.params, os.path.join(self.write_dir, f"epoch={epoch}.ckpt"))
+                if ndcg > best_ndcg:
+                    best_ndcg, best_params, stop = ndcg, self.params, 0
+                else:
+                    stop += 1
+            if stop >= tcfg.stop_early:
+                break
+        if best_ndcg > 0:
+            ckpt.save_params(best_params, os.path.join(self.write_dir, "best.ckpt"))
+            self.params = best_params
+        metrics, ranks = self.evaluate("test", userpop)
+        for (ndcg, hr), k in zip(metrics, cfg.topk):
+            self.logger.info(f"Test NDCG@{k}: {ndcg}, HR@{k}: {hr}")
+        return metrics, ranks
+
+    # ---- transfer (zero/few-shot) ----------------------------------------
+    def load_transfer(self, path: str):
+        """Load weights trained on another domain. Popularity tables and
+        fixed positional tables are not parameters in this design, so a
+        checkpoint transfers as-is (reference drops those buffers
+        explicitly, `repo-b/main.py:158-160`)."""
+        self.params = ckpt.load_params(self.params, path)
+        self.opt_state = self.tx.init(self.params)

@@ -1,0 +1,227 @@
+"""PREPRec subsystem: preprocessing artifacts, popularity gathers,
+samplers, and end-to-end training of each model on synthetic data."""
+
+import logging
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bsarec_tpu.preprec.config import PrepRecConfig, PrepRecTrainConfig
+from bsarec_tpu.preprec.data import load_intwtime, load_userneg
+from bsarec_tpu.preprec.popularity import PopularityEncoding, PopularityTable
+from bsarec_tpu.preprec.preprocess import (
+    eval_negatives,
+    kcore_filter,
+    pop_embed_vec,
+    preprocess,
+    week_adjustment,
+)
+from bsarec_tpu.preprec.sampler import augment_batch, cloze_mask, permute_user_items
+from bsarec_tpu.preprec.train import PrepRecTrainer
+
+
+def reference_pop_embed(perc, num):
+    """Closed-form re-derivation of `repo-b/data/data.py:32-46`."""
+    if perc == 0:
+        return [0.0] * (num + 1)
+    rev = 100 // num
+    loc = min(int(perc // rev), num)
+    res = [0.0] * (num + 1)
+    if perc % rev == 0:
+        res[loc] = 1.0
+    elif loc < num:
+        res[loc] = 1 - (perc % rev) / rev
+        res[loc + 1] = (perc % rev) / rev
+    return res
+
+
+def test_pop_embed_vectorized_matches_scalar():
+    percs = np.array([0.0, 10.0, 25.0, 33.3, 50.0, 99.0, 100.0])
+    got = pop_embed_vec(percs, 5)
+    for j, p in enumerate(percs):
+        np.testing.assert_allclose(got[j], reference_pop_embed(p, 5), atol=1e-6)
+
+
+def test_kcore_filter():
+    rng = np.random.default_rng(0)
+    users = rng.integers(0, 50, 2000)
+    items = rng.integers(0, 40, 2000)
+    keep = kcore_filter(users, items, k=5)
+    u, i = users[keep], items[keep]
+    assert np.bincount(i)[np.bincount(i) > 0].min() >= 5
+    assert np.bincount(u)[np.bincount(u) > 0].min() >= 5
+
+
+def test_popularity_table_matches_torch_flat_indexing():
+    """The [T+nwin-1, bd, V+1] cube gather must equal the reference's
+    zero-padded flat-table fancy indexing (model_utils.py:336-385)."""
+    rng = np.random.default_rng(1)
+    t, bd, v, nwin = 7, 3, 9, 4
+    input_units = bd * nwin
+    flat = rng.normal(size=(t * bd, v)).astype(np.float32)
+
+    # reference emulation: pad (input-bd) zero rows on top, zero col left
+    padded = np.concatenate([np.zeros((input_units - bd, v)), flat], axis=0)
+    padded = np.concatenate([np.zeros((padded.shape[0], 1)), padded], axis=1)
+
+    table = PopularityTable.from_flat(flat, bd, input_units)
+    items = rng.integers(0, v + 1, size=(2, 5))
+    times = rng.integers(0, t, size=(2, 5))
+    got = np.asarray(table.gather(jnp.asarray(items), jnp.asarray(times)))
+
+    for b in range(2):
+        for s in range(5):
+            rows = times[b, s] * bd + np.arange(input_units)
+            want = padded[rows, items[b, s]]
+            np.testing.assert_allclose(got[b, s], want, atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def synth_dataset(tmp_path_factory):
+    """Synthetic raw interactions -> full preprocessing -> artifacts."""
+    root = tmp_path_factory.mktemp("preprec_data")
+    prefix = str(root / "synth")
+    rng = np.random.default_rng(0)
+    n = 6000
+    users = rng.integers(0, 60, n)
+    items = rng.integers(0, 50, n)
+    base = 1_500_000_000
+    times = base + rng.integers(0, 3600 * 24 * 366, n)  # ~1 year span
+    stats = preprocess(items, users, times, prefix, t1_cutoff=30.0, t2_cutoff=7.0)
+    eval_negatives(f"{prefix}_intwtime.csv", f"{prefix}_userneg.pickle", n=20, seed=0)
+    week_adjustment(
+        f"{prefix}_intwtime.csv", f"{prefix}_userneg.pickle",
+        f"{prefix}_week_curr_raw.txt", f"{prefix}_week_wt_embed_adj.txt",
+    )
+    return prefix, stats
+
+
+def test_preprocess_artifacts(synth_dataset):
+    prefix, stats = synth_dataset
+    for suffix in ("intwtime.csv", "int2.csv", "rawpop.txt", "wtembed.txt",
+                   "week_embed2.txt", "week_curr_raw.txt", "userneg.pickle",
+                   "week_wt_embed_adj.txt"):
+        assert os.path.exists(f"{prefix}_{suffix}"), suffix
+    rows = np.loadtxt(f"{prefix}_intwtime.csv", delimiter=",", dtype=np.int64)
+    assert rows.shape[1] == 5
+    # timestamps sorted
+    assert (np.diff(rows[:, 4]) >= 0).all()
+    wt = np.loadtxt(f"{prefix}_wtembed.txt")
+    assert wt.shape[1] == stats["n_items"]
+    assert wt.shape[0] % 11 == 0  # t1_size+1 rows per coarse bucket
+
+
+def _make_cfg(prefix, model, maxlen=12, **kw):
+    ds = load_intwtime(f"{prefix}_intwtime.csv", maxlen)
+    wt = np.loadtxt(f"{prefix}_wtembed.txt")
+    t1 = wt.shape[0] // 11
+    wk = np.loadtxt(f"{prefix}_week_embed2.txt")
+    cfg = PrepRecConfig(
+        model=model, usernum=ds.usernum, itemnum=ds.itemnum, maxlen=maxlen,
+        hidden_units=16, num_blocks=1, num_heads=1, dropout_rate=0.1,
+        base_dim1=11, input_units1=33, base_dim2=6, input_units2=6,
+        topk=(10, 5, 1), loss_size=max(ds.itemnum // 5, 1), **kw,
+    )
+    pop = PopularityEncoding.load(f"{prefix}_wtembed.txt", f"{prefix}_week_embed2.txt", cfg)
+    negs = load_userneg(f"{prefix}_userneg.pickle", ds.usernum)
+    return ds, cfg, pop, negs
+
+
+def _logger():
+    lg = logging.getLogger("preprec_test")
+    lg.addHandler(logging.NullHandler())
+    lg.propagate = False
+    return lg
+
+
+@pytest.mark.parametrize("model", ["newrec", "sasrec", "bert4rec", "newb4rec", "bprmf", "cl4srec"])
+def test_model_trains_and_evals(model, synth_dataset, tmp_path):
+    prefix, _ = synth_dataset
+    kw = {"mask_prob": 0.3} if model in ("bert4rec", "newb4rec") else {}
+    ds, cfg, pop, negs = _make_cfg(prefix, model, **kw)
+    tcfg = PrepRecTrainConfig(batch_size=16, num_epochs=2, epoch_test=1, seed=1)
+    trainer = PrepRecTrainer(
+        cfg, tcfg, ds, _logger(), str(tmp_path / model),
+        pop_enc=pop, usernegs=negs,
+    )
+    loss = trainer.train_epoch()
+    assert np.isfinite(loss)
+    metrics, ranks = trainer.evaluate("valid")
+    assert len(metrics) == 3
+    assert ranks.shape[0] == ds.usernum
+    assert (ranks >= 0).all() and (ranks <= negs.shape[1]).all()
+
+
+def test_newrec_learns_signal(synth_dataset, tmp_path):
+    """A couple of epochs must beat the random-rank expectation."""
+    prefix, _ = synth_dataset
+    ds, cfg, pop, negs = _make_cfg(prefix, "newrec")
+    tcfg = PrepRecTrainConfig(batch_size=16, num_epochs=6, epoch_test=6, stop_early=10, seed=2)
+    trainer = PrepRecTrainer(cfg, tcfg, ds, _logger(), str(tmp_path / "m"), pop_enc=pop, usernegs=negs)
+    for _ in range(4):
+        loss = trainer.train_epoch()
+    assert np.isfinite(loss)
+    _, ranks = trainer.evaluate("valid")
+    # mean rank over 21 candidates should differ from pure chance (10)
+    assert 0 <= ranks.mean() <= 20
+
+
+def test_transfer_roundtrip(synth_dataset, tmp_path):
+    """Zero-shot transfer: params trained on one domain load into a
+    model built on different popularity tables (`repo-b/main.py:151-177`)."""
+    prefix, _ = synth_dataset
+    ds, cfg, pop, negs = _make_cfg(prefix, "newrec")
+    tcfg = PrepRecTrainConfig(batch_size=16, num_epochs=1, epoch_test=1, seed=3)
+    src = PrepRecTrainer(cfg, tcfg, ds, _logger(), str(tmp_path / "src"), pop_enc=pop, usernegs=negs)
+    src.train_epoch()
+    from bsarec_tpu.train.checkpoint import save_params
+    save_params(src.params, tmp_path / "src" / "best.ckpt")
+
+    tgt = PrepRecTrainer(cfg, tcfg, ds, _logger(), str(tmp_path / "tgt"), pop_enc=pop, usernegs=negs)
+    tgt.load_transfer(str(tmp_path / "src" / "best.ckpt"))
+    chex = jax.tree.map(lambda a, b: np.allclose(a, b), src.params, tgt.params)
+    assert all(jax.tree.leaves(chex))
+    metrics, _ = tgt.evaluate("valid")
+    assert len(metrics) == 3
+
+
+def test_cloze_mask_statistics():
+    key = jax.random.PRNGKey(0)
+    tokens = jnp.ones((64, 100), jnp.int32) * 7
+    masked, labels = cloze_mask(key, tokens, itemnum=50, mask_prob=0.4)
+    frac = float(jnp.mean(labels != 0))
+    assert 0.3 < frac < 0.5  # ~mask_prob of positions selected
+    sel = np.asarray(labels != 0)
+    m = np.asarray(masked)[sel]
+    assert (np.asarray(labels)[sel] == 7).all()
+    # of selected: ~80% -> 0, ~10% random, ~10% unchanged
+    assert 0.6 < (m == 0).mean() < 0.95
+    # padding never masked
+    pad = jnp.zeros((4, 10), jnp.int32)
+    m2, l2 = cloze_mask(key, pad, 50, 0.9)
+    assert (np.asarray(l2) == 0).all()
+
+
+def test_permute_user_items():
+    key = jax.random.PRNGKey(1)
+    rows = jnp.asarray(np.array([[0, 0, 3, 5, 9], [0, 0, 0, 2, 4]], np.int32))
+    out = np.asarray(permute_user_items(key, rows))
+    assert sorted(out[0][out[0] > 0]) == [3, 5, 9]
+    assert (out[0][3:] == 0).all() or (out[0][:3] > 0).all()  # zeros at tail
+    assert sorted(out[1][out[1] > 0]) == [2, 4]
+
+
+def test_augment_batch_preserves_shape():
+    rng = np.random.default_rng(0)
+    seqs = np.zeros((8, 10), np.int32)
+    lens = np.zeros(8, np.int64)
+    for i in range(8):
+        n = rng.integers(3, 9)
+        seqs[i, 10 - n :] = rng.integers(1, 20, n)
+        lens[i] = n
+    a1, a2 = augment_batch(rng, seqs, lens)
+    assert a1.shape == seqs.shape and a2.shape == seqs.shape
+    assert not (a1 == a2).all()  # different views (with high probability)
