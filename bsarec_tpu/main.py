@@ -33,6 +33,10 @@ def parse_args(argv=None):
     parser.add_argument("--data_name", default="Beauty", type=str)
     parser.add_argument("--do_eval", action="store_true")
     parser.add_argument("--load_model", default=None, type=str)
+    parser.add_argument(
+        "--load_torch_model", default=None, type=str,
+        help="path to a reference PyTorch .pt state-dict to import",
+    )
     parser.add_argument("--train_name", default=get_local_time(), type=str)
     # train
     parser.add_argument("--lr", default=0.001, type=float)
@@ -120,11 +124,19 @@ def main(argv=None):
     trainer = Trainer(model_cfg, train_cfg, data, logger, checkpoint_path)
 
     if args.do_eval:
-        if args.load_model is None:
+        if args.load_torch_model is not None:
+            from bsarec_tpu.train.torch_import import import_torch_checkpoint
+
+            trainer.params = import_torch_checkpoint(
+                args.model_type, args.load_torch_model, args.num_hidden_layers
+            )
+            logger.info(f"Imported torch checkpoint {args.load_torch_model} for test!")
+        elif args.load_model is None:
             logger.info("No model input!")
             return None
-        trainer.load(os.path.join(args.output_dir, args.load_model + ".ckpt"))
-        logger.info(f"Load model from {args.load_model} for test!")
+        else:
+            trainer.load(os.path.join(args.output_dir, args.load_model + ".ckpt"))
+            logger.info(f"Load model from {args.load_model} for test!")
         scores, result_info = trainer.test(0)
     else:
         scores, result_info = trainer.fit()

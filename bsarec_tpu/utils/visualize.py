@@ -1,0 +1,67 @@
+"""Post-hoc analysis utilities (reference: `src/visualize/figure2.ipynb`,
+`figure3.ipynb` + `.npy` dumps).
+
+Library functions instead of notebooks:
+- `attention_spectral_response`: Fig 2(b) — diagonal magnitude of
+  F·A·F⁻¹ for an attention map A (how much each frequency passes).
+- `filter_spectral_response`: spectral magnitude of an FMLP complex
+  filter / the BSARec low-pass projection.
+- `layerwise_cosine_similarity` / `layerwise_singular_values`: Fig 3 —
+  oversmoothing diagnostics over per-layer sequence outputs (use
+  `forward(..., all_layers=True)`).
+- `dump_sequence_outputs`: .npy dumps compatible with the reference's
+  `visualize/sequence_output/<tag>/{L}layer_{i}iter.npy` layout.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+
+def attention_spectral_response(attn: np.ndarray) -> np.ndarray:
+    """attn: [L, L] attention map -> [L] |diag(F A F^-1)|."""
+    length = attn.shape[-1]
+    f = np.fft.fft(np.eye(length)) / np.sqrt(length)
+    f_inv = np.conj(f).T
+    lam = f @ attn @ f_inv
+    return np.abs(np.diag(lam))
+
+
+def filter_spectral_response(w_real: np.ndarray, w_imag: np.ndarray) -> np.ndarray:
+    """FMLP complex filter [1, F, H] -> per-frequency mean magnitude [F]."""
+    return np.abs(w_real + 1j * w_imag).mean(axis=-1).reshape(-1)
+
+
+def layerwise_cosine_similarity(layer_outputs) -> list[float]:
+    """Mean pairwise cosine similarity of positions per layer
+    (oversmoothing indicator, Fig 3 left)."""
+    sims = []
+    for h in layer_outputs:
+        x = np.asarray(h, dtype=np.float64)
+        x = x.reshape(-1, x.shape[-2], x.shape[-1])  # [B, L, H]
+        x = x / (np.linalg.norm(x, axis=-1, keepdims=True) + 1e-12)
+        gram = np.einsum("blh,bmh->blm", x, x)
+        length = gram.shape[-1]
+        off_diag = gram.sum(axis=(1, 2)) - np.trace(gram, axis1=1, axis2=2)
+        sims.append(float(np.mean(off_diag / (length * (length - 1)))))
+    return sims
+
+
+def layerwise_singular_values(layer_outputs) -> list[np.ndarray]:
+    """Normalized singular-value spectra per layer (Fig 3 right)."""
+    out = []
+    for h in layer_outputs:
+        x = np.asarray(h, dtype=np.float64)
+        x = x.reshape(-1, x.shape[-1])
+        s = np.linalg.svd(x, compute_uv=False)
+        out.append(s / (s[0] + 1e-12))
+    return out
+
+
+def dump_sequence_outputs(layer_outputs, out_dir: str | Path, tag: str, iteration: int) -> None:
+    root = Path(out_dir) / tag
+    root.mkdir(parents=True, exist_ok=True)
+    for layer, h in enumerate(layer_outputs):
+        np.save(root / f"{layer}layer_{iteration}iter.npy", np.asarray(h))

@@ -1,0 +1,109 @@
+"""BSARec-side offline preprocessing + visualization utilities."""
+
+import json
+
+import numpy as np
+
+from bsarec_tpu.data.preprocess import (
+    build_interactions,
+    check_kcore,
+    filter_kcore,
+    id_map,
+    parse_amazon,
+    parse_lastfm,
+    parse_ml1m,
+    process_dataset,
+    write_corpus,
+)
+from bsarec_tpu.ops.frequency import lowpass_projection_matrix
+from bsarec_tpu.utils.visualize import (
+    attention_spectral_response,
+    filter_spectral_response,
+    layerwise_cosine_similarity,
+    layerwise_singular_values,
+)
+
+
+def test_build_interactions_sorts_and_tracks_gaps():
+    triples = [("u1", "a", 30), ("u1", "b", 10), ("u1", "c", 20)]
+    items, gaps = build_interactions(triples)
+    assert items["u1"] == ["b", "c", "a"]
+    assert gaps["u1"] == [0, 10, 10]
+
+
+def test_kcore_filter_merges_gaps():
+    # item 'x' appears once -> removed, its gap merges into successor
+    user_items = {
+        "u1": ["a", "x", "b", "a", "b"],
+        "u2": ["a", "b", "a", "b", "a"],
+        "u3": ["b", "a", "b", "a", "b"],
+    }
+    gaps = {"u1": [0, 1, 2, 3, 4], "u2": [0] * 5, "u3": [0] * 5}
+    filtered, g = filter_kcore(user_items, gaps, user_core=2, item_core=2)
+    assert "x" not in [i for v in filtered.values() for i in v]
+    assert filtered["u1"] == ["a", "b", "a", "b"]
+    assert g["u1"] == [0, 3, 3, 4]  # removed gap 1 merged into next (2 -> 3)
+
+
+def test_id_map_first_appearance_order():
+    mapped, n_u, n_i, maps = id_map({"uA": ["z", "y"], "uB": ["y", "x"]})
+    assert mapped == {1: [1, 2], 2: [2, 3]}
+    assert (n_u, n_i) == (2, 3)
+
+
+def test_amazon_pipeline_end_to_end(tmp_path):
+    rng = np.random.default_rng(0)
+    raw = tmp_path / "raw.json"
+    with open(raw, "w") as fh:
+        for k in range(800):
+            fh.write(json.dumps({
+                "reviewerID": f"u{rng.integers(0, 40)}",
+                "asin": f"i{rng.integers(0, 30)}",
+                "overall": float(rng.integers(1, 6)),
+                "unixReviewTime": int(1.4e9 + rng.integers(0, 10**7)),
+            }) + "\n")
+    out = tmp_path / "Beauty.txt"
+    stats = process_dataset("Beauty", str(raw), str(out))
+    assert stats["users"] > 0 and stats["items"] > 0
+    # output parses back through the training-corpus loader
+    from bsarec_tpu.data.corpus import load_corpus
+
+    corpus = load_corpus(out)
+    assert corpus.num_users == stats["users"]
+    assert all(len(s) >= 5 for s in corpus.user_seq)
+
+
+def test_ml1m_and_lastfm_parsers(tmp_path):
+    ml = tmp_path / "ratings.dat"
+    ml.write_text("1::10::5::100\n1::11::3::50\n")
+    assert parse_ml1m(str(ml)) == [("1", "10", 100), ("1", "11", 50)]
+
+    lf = tmp_path / "lastfm.dat"
+    lf.write_text("header\n1\t7\t99\t1000\n1\t7\t98\t2000\n1\t8\t97\t3000\n")
+    triples = parse_lastfm(str(lf))
+    items, _ = build_interactions(triples, dedup_items=True)
+    assert items["1"] == ["7", "8"]  # duplicate artist dropped
+
+
+def test_spectral_response_of_lowpass_projection():
+    """The BSARec low-pass projection must pass exactly the kept bins."""
+    proj = lowpass_projection_matrix(50, 5)  # keeps bins 0,1,2
+    resp = attention_spectral_response(proj)
+    assert np.all(resp[:3] > 0.99)
+    # full-FFT diag covers conjugate bins too: 50-1, 50-2 mirror 1, 2
+    assert np.all(resp[48:] > 0.99)
+    assert np.all(resp[4:47] < 1e-6)
+
+
+def test_visualization_metrics_shapes():
+    rng = np.random.default_rng(0)
+    outs = [rng.normal(size=(4, 10, 8)) for _ in range(3)]
+    sims = layerwise_cosine_similarity(outs)
+    assert len(sims) == 3 and all(-1 <= s <= 1 for s in sims)
+    # identical rows -> similarity 1
+    const = np.ones((2, 10, 8))
+    assert abs(layerwise_cosine_similarity([const])[0] - 1.0) < 1e-9
+    svs = layerwise_singular_values(outs)
+    assert all(abs(s[0] - 1.0) < 1e-9 for s in svs)
+    resp = filter_spectral_response(rng.normal(size=(1, 26, 8)), rng.normal(size=(1, 26, 8)))
+    assert resp.shape == (26,)
