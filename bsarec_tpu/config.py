@@ -64,3 +64,6 @@ class TrainConfig:
     adam_beta2: float = 0.999
     log_freq: int = 1
     eval_batch_size: int = 256
+    # "auto" | "dense" | "streaming": full-catalog eval implementation
+    # (streaming = Pallas vocab-sweep kernel, ops/pallas_rank.py)
+    eval_impl: str = "auto"

@@ -81,17 +81,35 @@ class CaserModel(SequentialRecModel):
         out_v = jnp.einsum("blh,lv->bvh", emb, self.conv_v_kernel) + self.conv_v_bias[None, :, None]
         out_v = out_v.reshape(emb.shape[0], cfg.nv * H)
 
-        # horizontal bank: window height i, relu, max-pool over time
-        outs_h = []
-        for i in range(1, L + 1):
-            windows = jnp.stack(
-                [jax.lax.dynamic_slice_in_dim(emb, t, i, axis=1) for t in range(L - i + 1)],
-                axis=1,
-            )  # [B, L-i+1, i, H]
-            flat = windows.reshape(emb.shape[0], L - i + 1, i * H)
-            conv = jax.nn.relu(flat @ self.conv_h_kernels[i - 1] + self.conv_h_biases[i - 1])
-            outs_h.append(jnp.max(conv, axis=1))  # [B, nh]
-        out_h = jnp.concatenate(outs_h, axis=1)  # [B, nh*L]
+        # horizontal bank: window height i, relu, max-pool over time.
+        # All L banks evaluate as ONE windowed gather + ONE einsum (a
+        # [B·L, L·H] × [L·H, L·nh] matmul on the MXU) instead of L conv
+        # dispatches: W[i, j] holds bank i's row j (zero for j >= i), so
+        # out[b, i, t] = relu(Σ_j emb[b, t+j] · W[i, j] + bias[i]).
+        t_idx = jnp.arange(L)[:, None] + jnp.arange(L)[None, :]  # [t, j] = t + j
+        gathered = emb[:, jnp.minimum(t_idx, L - 1)]  # [B, L(t), L(j), H]
+        bank = jnp.stack(
+            [
+                jnp.pad(
+                    self.conv_h_kernels[i - 1].reshape(i, H, cfg.nh),
+                    ((0, L - i), (0, 0), (0, 0)),
+                )
+                for i in range(1, L + 1)
+            ]
+        )  # [L(i), L(j), H, nh]
+        biases = jnp.stack(self.conv_h_biases)  # [L, nh]
+        conv = jax.nn.relu(
+            jnp.einsum(
+                "btjh,ijhn->bitn", gathered, bank, preferred_element_type=jnp.float32
+            )
+            + biases[None, :, None, :]
+        )  # [B, L(i), L(t), nh]
+        # bank i (height i+1) is valid at positions t <= L - (i+1)
+        valid = (
+            jnp.arange(L)[:, None] + jnp.arange(L)[None, :] <= L - 1
+        )  # [i, t]: t + i <= L - 1  <=>  t <= L - height
+        conv = jnp.where(valid[None, :, :, None], conv, -jnp.inf)
+        out_h = jnp.max(conv, axis=2).reshape(emb.shape[0], L * cfg.nh)  # [B, L*nh]
 
         out = jnp.concatenate([out_v, out_h], axis=1)
         out = self.fc_dropout(out, deterministic=not train)

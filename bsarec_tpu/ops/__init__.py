@@ -12,3 +12,8 @@ from bsarec_tpu.ops.losses import (  # noqa: F401
     info_nce_logits,
 )
 from bsarec_tpu.ops.topk import masked_topk, topk_metrics  # noqa: F401
+from bsarec_tpu.ops.pallas_ce import streaming_softmax_ce  # noqa: F401
+from bsarec_tpu.ops.pallas_rank import (  # noqa: F401
+    build_seen_bitmask,
+    streaming_masked_topk,
+)

@@ -12,12 +12,36 @@ import jax
 import jax.numpy as jnp
 
 
-def full_softmax_ce(seq_state: jnp.ndarray, item_table: jnp.ndarray, answers: jnp.ndarray) -> jnp.ndarray:
+# Above this catalog size the dense [B, V] logit materialization is
+# replaced by the streaming Pallas kernel (TPU only): memory O(B) and
+# one table read per pass instead of B·V·4 bytes of logit traffic.
+STREAMING_CE_MIN_VOCAB = 262_144
+
+
+def full_softmax_ce(
+    seq_state: jnp.ndarray,
+    item_table: jnp.ndarray,
+    answers: jnp.ndarray,
+    impl: str = "auto",
+) -> jnp.ndarray:
     """Full-catalog cross entropy (reference: `src/model/bsarec.py:30-37`).
 
     seq_state: [B, H] last-position states; item_table: [V, H];
-    answers: [B] int ids. Mean CE over the batch.
+    answers: [B] int ids. Mean CE over the batch. `impl`: "dense",
+    "streaming" (Pallas, see `ops/pallas_ce.py`), or "auto" (streaming
+    on TPU for production-scale catalogs, dense otherwise).
     """
+    if impl == "auto":
+        use_streaming = (
+            item_table.shape[0] >= STREAMING_CE_MIN_VOCAB
+            and jax.default_backend() == "tpu"
+        )
+    else:
+        use_streaming = impl == "streaming"
+    if use_streaming:
+        from bsarec_tpu.ops.pallas_ce import streaming_softmax_ce
+
+        return jnp.mean(streaming_softmax_ce(seq_state, item_table, answers))
     logits = jnp.einsum(
         "bh,vh->bv", seq_state, item_table, preferred_element_type=jnp.float32
     )

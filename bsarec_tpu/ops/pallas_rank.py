@@ -1,0 +1,193 @@
+"""Streaming full-catalog top-k retrieval (Pallas TPU kernel).
+
+Replaces the eval path's [B, V] score materialization with a single
+vocab sweep: each grid step computes one [Bt, Vt] logit tile on the
+MXU, applies the seen-item mask (reference semantics: seen scores set
+to 0.0, `src/trainers.py:134`), and folds the tile into a running
+top-k held in VMEM scratch. HBM traffic is one read of the item table
+per batch tile plus a 32×-compressed seen bitmask — never B·V scores.
+
+Seen items arrive as a packed bitmask ([B, Vp/32] int32, built once
+per eval split by `build_seen_bitmask`), expanded in-kernel with
+`pltpu.repeat` + shift/mask ops. The layout is bit-plane-per-tile:
+within a vocab tile of TILE_COLS items (W = TILE_COLS/32 words), bit r
+of word w covers tile-local item r*W + w — exactly what a tiled
+32x-repeat of the word block recovers lane-for-lane. The running top-k merge is predicated on the tile
+possibly containing a candidate (`tile_max > min kth value`), so after
+the first few tiles the merge body — k rounds of max extraction —
+almost never executes and the sweep runs at matmul speed.
+
+Tie-breaking picks the smallest item id among equal scores, which can
+differ from `np.argpartition` order; HR/NDCG are unaffected except on
+exact score ties.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float("-inf")
+KPAD = 128  # running top-k scratch width (lane-aligned); k <= KPAD
+INT_MAX = 2**31 - 1  # python literal: jnp constants would be captured as kernel consts
+
+
+TILE_COLS = 4096  # vocab-tile width; W = TILE_COLS // 32 = 128 lanes of mask words
+
+
+def build_seen_bitmask(seen_items: np.ndarray, vocab_size: int) -> np.ndarray:
+    """[B, S] 0-padded seen-item lists -> [B, Vp/32] int32 bitmask
+    (Vp = vocab_size rounded up to TILE_COLS), bit-plane-per-tile layout:
+    item v lives in word (v // TILE_COLS) * W + (v % TILE_COLS) % W at
+    bit (v % TILE_COLS) // W, W = TILE_COLS // 32.
+
+    The padding item's bit (item 0 -> word 0, bit 0) is always set: the
+    reference's 0-padded seen lists zero column 0 for every user
+    (`src/trainers.py:134`).
+    """
+    w = TILE_COLS // 32
+    vp = -(-vocab_size // TILE_COLS) * TILE_COLS
+    out = np.zeros((seen_items.shape[0], vp // 32), np.uint32)
+    out[:, 0] = 1  # item 0
+    rows = np.repeat(np.arange(seen_items.shape[0]), seen_items.shape[1])
+    ids = seen_items.reshape(-1).astype(np.int64)
+    keep = ids > 0
+    rows, ids = rows[keep], ids[keep]
+    u = ids % TILE_COLS
+    words = (ids // TILE_COLS) * w + u % w
+    bits = (u // w).astype(np.uint32)
+    np.bitwise_or.at(out, (rows, words), np.uint32(1) << bits)
+    return out.view(np.int32)
+
+
+def _slot_read(arr, slot_iota, r):
+    """Value of column r of arr as [bt, 1] without dynamic gather."""
+    zero = 0 if arr.dtype == jnp.int32 else 0.0
+    return jnp.sum(jnp.where(slot_iota == r, arr, zero), axis=-1, keepdims=True)
+
+
+def _rank_kernel(k, nv_ref, s_ref, t_ref, m_ref, vals_ref, ids_ref, rv_sc, ri_sc):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    bt = s_ref.shape[0]
+    vt = t_ref.shape[0]
+    n_valid = nv_ref[0]
+
+    @pl.when(j == 0)
+    def _():
+        rv_sc[:] = jnp.full_like(rv_sc, NEG_INF)
+        ri_sc[:] = jnp.zeros_like(ri_sc)
+
+    logits = jax.lax.dot_general(
+        s_ref[:], t_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    cols = j * vt + jax.lax.broadcasted_iota(jnp.int32, (bt, vt), 1)
+
+    # expand packed seen bits (bit-plane layout, see build_seen_bitmask):
+    # tiled 32x repeat puts word (u % W) at lane u; its bit (u // W) is
+    # the seen flag for tile-local item u
+    words = m_ref[:]  # [bt, W = vt // 32] int32
+    expanded = pltpu.repeat(words, 32, axis=1)  # [bt, vt], lane u = word u % W
+    bitpos = jax.lax.broadcasted_iota(jnp.int32, (bt, vt), 1) // (vt // 32)
+    seen = jax.lax.shift_right_logical(expanded, bitpos) & 1
+    logits = jnp.where(seen == 1, 0.0, logits)  # reference: seen -> 0.0
+    logits = jnp.where(cols < n_valid, logits, NEG_INF)  # catalog padding
+
+    slot = jax.lax.broadcasted_iota(jnp.int32, rv_sc.shape, 1)
+    kth_per_row = jnp.max(jnp.where(slot == k - 1, rv_sc[:], NEG_INF), axis=-1)
+
+    # fold tile into running top-k only if some row's top-k can change
+    @pl.when(jnp.max(logits) > jnp.min(kth_per_row))
+    def _():
+        cand_v, cand_i = logits, cols
+        run_v, run_i = rv_sc[:], ri_sc[:]
+        for r in range(k):
+            cm = jnp.max(cand_v, axis=-1, keepdims=True)  # [bt, 1]
+            rv_r = _slot_read(run_v, slot, r)
+            ri_r = _slot_read(run_i, slot, r)
+            take = cm > rv_r  # strict: ties keep the (earlier-tile) run entry
+            # candidate argmax id: smallest col among maxima
+            sel = cand_v == cm
+            cid = jnp.min(jnp.where(sel, cand_i, INT_MAX), axis=-1, keepdims=True)
+            new_v = jnp.where(take, cm, rv_r)
+            new_i = jnp.where(take, cid, ri_r)
+            # if the candidate won slot r, the displaced run value re-enters
+            # the pool in the extracted candidate's position (swap)
+            swap = take & sel & (cand_i == cid)
+            cand_v = jnp.where(swap, jnp.broadcast_to(rv_r, cand_v.shape), cand_v)
+            cand_i = jnp.where(swap, jnp.broadcast_to(ri_r, cand_i.shape), cand_i)
+            run_v = jnp.where(slot == r, jnp.broadcast_to(new_v, run_v.shape), run_v)
+            run_i = jnp.where(slot == r, jnp.broadcast_to(new_i, run_i.shape), run_i)
+        rv_sc[:] = run_v
+        ri_sc[:] = run_i
+
+    @pl.when(j == nj - 1)
+    def _():
+        vals_ref[:] = rv_sc[:, : vals_ref.shape[1]]
+        ids_ref[:] = ri_sc[:, : ids_ref.shape[1]]
+
+
+def streaming_masked_topk(
+    states: jnp.ndarray,  # [B, H] f32
+    table: jnp.ndarray,  # [V, H] f32
+    seen_bitmask: jnp.ndarray,  # [B, Vp/32] int32 (build_seen_bitmask)
+    k: int = 20,
+    n_valid: int | None = None,
+    block_b: int = 128,  # [bt, 4096] f32/i32 live tiles: bt=128 fits 16M VMEM
+    interpret: bool = False,
+):
+    """Returns (values [B, k], item ids [B, k]) of the masked catalog scores."""
+    b, h = states.shape
+    v = table.shape[0]
+    n_valid = v if n_valid is None else n_valid
+    bt = min(block_b, max(8, b))
+    assert k <= KPAD
+    # the bitmask layout (and Mosaic's 128-lane block constraint) fixes
+    # the vocab tile width to TILE_COLS
+    vt = TILE_COLS
+    bp = pl.cdiv(b, bt) * bt
+    vp = pl.cdiv(v, vt) * vt
+
+    sp = jnp.pad(states, ((0, bp - b), (0, 0))) if bp != b else states
+    tp = jnp.pad(table, ((0, vp - v), (0, 0))) if vp != v else table
+    wp = vp // 32
+    mp = seen_bitmask
+    if mp.shape[1] < wp:
+        mp = jnp.pad(mp, ((0, 0), (0, wp - mp.shape[1])))
+    if bp != b:
+        mp = jnp.pad(mp, ((0, bp - b), (0, 0)))
+
+    vals, ids = pl.pallas_call(
+        functools.partial(_rank_kernel, k),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bp // bt, vp // vt),
+            in_specs=[
+                pl.BlockSpec((bt, h), lambda i, j, *_: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((vt, h), lambda i, j, *_: (j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (bt, vt // 32), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=(
+                pl.BlockSpec((bt, k), lambda i, j, *_: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bt, k), lambda i, j, *_: (i, 0), memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((bt, KPAD), jnp.float32),
+                pltpu.VMEM((bt, KPAD), jnp.int32),
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bp, k), jnp.float32),
+            jax.ShapeDtypeStruct((bp, k), jnp.int32),
+        ),
+        interpret=interpret,
+    )(jnp.asarray([n_valid], jnp.int32), sp, tp, mp)
+    return vals[:b], ids[:b]

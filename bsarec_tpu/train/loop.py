@@ -118,11 +118,28 @@ def build_train_epoch(model, tx, item_size: int, batch_size: int, num_samples: i
     return jax.jit(epoch, donate_argnums=(0, 1)), steps
 
 
-def build_eval_fn(model, item_size: int, batch_size: int, num_users: int):
+# Above this catalog size (and on TPU) eval switches from the dense
+# [B, V] score materialization to the streaming Pallas rank kernel.
+STREAMING_RANK_MIN_VOCAB = 262_144
+
+
+def build_eval_fn(model, item_size: int, batch_size: int, num_users: int, impl: str = "auto"):
     """Returns a jitted `evaluate(params, inputs, answers, seen) ->
-    metric sums` (see `ops.topk.topk_metrics` layout)."""
+    metric sums` (see `ops.topk.topk_metrics` layout).
+
+    impl: "dense" scores the full catalog per batch and masks/top-ks it
+    ([B, V] lives briefly in HBM); "streaming" runs the Pallas vocab
+    sweep (`ops/pallas_rank.py`, `seen` is then a packed bitmask);
+    "auto" picks streaming on TPU for production-scale catalogs.
+    """
     steps = math.ceil(num_users / batch_size)
     padded = steps * batch_size
+    if impl == "auto":
+        impl = (
+            "streaming"
+            if item_size >= STREAMING_RANK_MIN_VOCAB and jax.default_backend() == "tpu"
+            else "dense"
+        )
 
     def evaluate(params, inputs, answers, seen):
         idx_all = jnp.arange(padded).reshape(steps, batch_size)
@@ -138,14 +155,24 @@ def build_eval_fn(model, item_size: int, batch_size: int, num_users: int):
                 {"params": params}, batch_inputs, safe, method=predict_and_table
             )
             state = out[:, -1, :]
-            logits = jnp.einsum(
-                "bh,vh->bv", state, table[:item_size], preferred_element_type=jnp.float32
-            )
-            _, topk_idx = masked_topk(logits, seen[safe])
+            if impl == "streaming":
+                from bsarec_tpu.ops.pallas_rank import streaming_masked_topk
+
+                _, topk_idx = streaming_masked_topk(
+                    state, table, seen[safe], k=20, n_valid=item_size
+                )
+            else:
+                logits = jnp.einsum(
+                    "bh,vh->bv",
+                    state,
+                    table[:item_size],
+                    preferred_element_type=jnp.float32,
+                )
+                _, topk_idx = masked_topk(logits, seen[safe])
             return sums + topk_metrics(topk_idx, answers[safe], valid), None
 
         init = jnp.zeros((9,), jnp.float32)
         sums, _ = jax.lax.scan(body, init, idx_all)
         return sums
 
-    return jax.jit(evaluate), steps
+    return jax.jit(evaluate), steps, impl

@@ -64,15 +64,6 @@ class Trainer:
             "answers": jnp.asarray(data.train.answers),
             "users": jnp.asarray(data.train.user_ids),
         }
-        self._eval_dev = {}
-        for split_name in ("valid", "test"):
-            split = getattr(data, split_name)
-            self._eval_dev[split_name] = {
-                "inputs": jnp.asarray(split.input_ids),
-                "answers": jnp.asarray(split.answers),
-                "seen": jnp.asarray(split.seen_items),
-            }
-
         self._epoch_fn, self.steps_per_epoch = build_train_epoch(
             self.model,
             self.tx,
@@ -81,12 +72,28 @@ class Trainer:
             data.train.num_samples,
             self.with_sem,
         )
-        self._eval_fn, _ = build_eval_fn(
+        self._eval_fn, _, self.eval_impl = build_eval_fn(
             self.model,
             model_cfg.item_size,
             train_cfg.eval_batch_size,
             data.valid.num_users,
+            impl=train_cfg.eval_impl,
         )
+
+        self._eval_dev = {}
+        for split_name in ("valid", "test"):
+            split = getattr(data, split_name)
+            if self.eval_impl == "streaming":
+                from bsarec_tpu.ops.pallas_rank import build_seen_bitmask
+
+                seen = build_seen_bitmask(split.seen_items, model_cfg.item_size)
+            else:
+                seen = split.seen_items
+            self._eval_dev[split_name] = {
+                "inputs": jnp.asarray(split.input_ids),
+                "answers": jnp.asarray(split.answers),
+                "seen": jnp.asarray(seen),
+            }
         self._zero_sem = jnp.zeros((data.train.num_samples, 0), jnp.int32)
 
     # ---- reference-API surface -----------------------------------------
