@@ -139,8 +139,20 @@ def mostpop_ranks(inputs: EvalInputs, rawpop: np.ndarray, rng: np.random.Generat
     return np.sum(better | tied, axis=1)
 
 
-def make_eval_fn(model, cfg: PrepRecConfig, pop_enc, eval_pop, batch: int, num_users: int):
-    """jitted scan over user batches -> ranks [U]."""
+def ensemble_ranks(scores: np.ndarray, loaded: np.ndarray, alphas) -> list[np.ndarray]:
+    """Blend saved scores with fresh ones and re-rank (reference
+    `repo-b/utils.py:548-551`: total = alpha*new + (1-alpha)*saved; the
+    ground truth sits in column 0). Returns one rank array per alpha."""
+    out = []
+    for alpha in alphas:
+        total = alpha * scores + (1.0 - alpha) * loaded
+        out.append(np.sum(total > total[:, :1], axis=1))
+    return out
+
+
+def make_eval_fn(model, cfg: PrepRecConfig, pop_enc, eval_pop, batch: int, num_users: int, return_scores: bool = False):
+    """jitted scan over user batches -> ranks [U] (or raw scores [U, C]
+    when return_scores, for --save_scores / --use_scores ensembling)."""
     steps = math.ceil(num_users / batch)
     padded = steps * batch
 
@@ -166,6 +178,8 @@ def make_eval_fn(model, cfg: PrepRecConfig, pop_enc, eval_pop, batch: int, num_u
             scores = model.apply({"params": params}, users, cands, method="predict")
         else:  # sasrec / bert4rec / cl4srec
             scores = model.apply({"params": params}, seqs, cands, method="predict")
+        if return_scores:
+            return scores
         return ranks_from_scores(scores, key)
 
     def evaluate(params, key, arrays):
@@ -185,6 +199,8 @@ def make_eval_fn(model, cfg: PrepRecConfig, pop_enc, eval_pop, batch: int, num_u
             return carry, r
 
         _, ranks = jax.lax.scan(body, None, (idx_all, jnp.arange(steps)))
+        if return_scores:
+            return ranks.reshape(steps * batch, -1)[:num_users]
         return ranks.reshape(-1)[:num_users]
 
     return jax.jit(evaluate), steps

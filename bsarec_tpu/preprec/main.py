@@ -10,9 +10,9 @@
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import logging
 import os
-import sys
 
 import numpy as np
 
@@ -84,6 +84,16 @@ def parse(argv=None):
     p.add_argument("--override_sparse", action="store_true")
     p.add_argument("--save_ranks", action="store_true")
     p.add_argument("--ranks_name", default="ranks", type=str)
+    # concurrent dual-dataset training (newrec only; repo-b/parse.py:63)
+    p.add_argument("--dataset2", default="", type=str)
+    # raw-score dump / saved-score ensembling (repo-b/parse.py:68-72)
+    p.add_argument("--save_scores", action="store_true")
+    p.add_argument("--use_scores", action="store_true")
+    p.add_argument("--use_score_dir", default="", type=str)
+    p.add_argument("--alphas", nargs="+", default=[0.5], type=float)
+    # user-embedding export (repo-b/utils.py:575-621)
+    p.add_argument("--export_user_embed", action="store_true")
+    p.add_argument("--label", default="embed", type=str)
     return p.parse_args(argv)
 
 
@@ -156,14 +166,52 @@ def main(argv=None):
         trainer.load_transfer(args.state_dict_path)
         logger.info(f"loaded transfer weights from {args.state_dict_path}")
 
-    if args.inference_only:
-        metrics, ranks = trainer.evaluate(args.mode)
-        for (ndcg, hr), k in zip(metrics, cfg.topk):
-            logger.info(f"{args.mode} NDCG@{k}: {ndcg}, HR@{k}: {hr}")
-    else:
-        metrics, ranks = trainer.fit()
+    second = None
+    if args.dataset2:
+        prefix2 = os.path.join(args.data_dir, args.dataset2)
+        ds2 = load_intwtime(f"{prefix2}_intwtime.csv", args.maxlen, sparse=args.sparse)
+        cfg2 = dataclasses.replace(cfg, usernum=ds2.usernum, itemnum=ds2.itemnum)
+        pop2 = PopularityEncoding.load(
+            f"{prefix2}_{args.monthpop}.txt", f"{prefix2}_{args.weekpop}.txt", cfg2
+        )
+        negs2 = None
+        if args.eval_method == 1:
+            negs2 = load_userneg(f"{prefix2}_{args.userneg}.pickle", ds2.usernum)
+        second = PrepRecTrainer(
+            cfg2, tcfg, ds2, logger,
+            os.path.join("res", args.dataset2, args.train_dir),
+            pop2, None, negs2, None,
+        )
 
-    if args.save_ranks:
+    if args.export_user_embed:
+        emb = trainer.user_embeddings(args.mode)
+        np.savetxt(os.path.join(write, f"user_embed_{args.label}.txt"), emb)
+        logger.info(f"exported user embeddings {emb.shape} to {write}")
+        return None
+
+    if args.inference_only:
+        if args.use_scores:
+            from bsarec_tpu.preprec.evaluate import ensemble_ranks
+
+            scores = trainer.eval_scores(args.mode)
+            loaded = np.loadtxt(args.use_score_dir)
+            per_alpha = ensemble_ranks(scores, loaded, args.alphas)
+            metrics = None
+            for alpha, ranks in zip(args.alphas, per_alpha):
+                metrics = metrics_from_ranks(ranks, cfg.topk)
+                logger.info(f"alpha={alpha}: {metrics}")
+        else:
+            metrics, ranks = trainer.evaluate(args.mode)
+            for (ndcg, hr), k in zip(metrics, cfg.topk):
+                logger.info(f"{args.mode} NDCG@{k}: {ndcg}, HR@{k}: {hr}")
+    else:
+        metrics, ranks = trainer.fit(second=second)
+
+    if args.save_scores:
+        add = "_global" if args.eval_method == 3 else ""
+        add += "_transf" if args.transfer else ""
+        np.savetxt(os.path.join(write, f"preds{add}.txt"), trainer.eval_scores(args.mode))
+    if args.save_ranks and not args.use_scores:
         np.savetxt(os.path.join(write, f"{args.ranks_name}.txt"), ranks)
     return metrics
 

@@ -367,13 +367,69 @@ class PrepRecTrainer:
             self.logger.info(str(grouped_metrics(ranks, userpop, self.cfg)))
         return metrics, ranks
 
-    def fit(self, userpop=None):
+    def eval_scores(self, mode: str) -> np.ndarray:
+        """Raw [U, C] candidate scores (reference --save_scores,
+        `repo-b/utils.py:522,546,559`: writescores dumped per mode)."""
+        if mode not in self._eval_arrays:
+            self._eval(mode)  # builds arrays (ranks discarded)
+        batch = 64 if self.cfg.eval_method != 3 else 8
+        score_fn, _ = make_eval_fn(
+            self.model, self.cfg, self.pop_enc, self.eval_pop, batch,
+            self.ds.usernum, return_scores=True,
+        )
+        key, self.rng = jax.random.split(self.rng)
+        return np.asarray(score_fn(self.params, key, self._eval_arrays[mode]))
+
+    def user_embeddings(self, mode: str) -> np.ndarray:
+        """[U, H] final encoder states — the transferable user
+        representation PREPRec exports for downstream use (reference
+        `newrec_user`, `repo-b/utils.py:575-621` / `model.py:206`)."""
+        assert self.cfg.model == "newrec"
+        if mode not in self._eval_arrays:
+            self._eval(mode)
+        arrays = self._eval_arrays[mode]
+
+        def embed(params, seqs, t1, t2, te):
+            feats = self.pop_enc(seqs, t1, t2)
+            out = self.model.apply(
+                {"params": params}, feats, seqs == 0,
+                te if self.cfg.time_embed else None, method="encode",
+            )
+            return out[:, -1, :]
+
+        return np.asarray(
+            jax.jit(embed)(
+                self.params, arrays["seqs"], arrays["t1"], arrays["t2"], arrays["te"]
+            )
+        )
+
+    def adopt(self, other: "PrepRecTrainer"):
+        """Take over another trainer's parameters + optimizer state.
+        NewRec has no dataset-specific parameters (popularity/positional
+        tables live outside the param tree), so the trees match and
+        dual-dataset training reduces to handing the same state back and
+        forth (the reference swaps filtered state_dicts each epoch,
+        `repo-b/train_test.py:132-171`)."""
+        self.params = other.params
+        self.opt_state = other.opt_state
+
+    def fit(self, userpop=None, second: "PrepRecTrainer | None" = None):
+        """Train with periodic eval + early stop; when `second` is given,
+        each epoch alternates dataset-1 and dataset-2 batches through the
+        SAME parameters (concurrent dual-dataset training — the
+        capability of `repo-b/train_test.py:132-171`, realized without
+        the reference's per-epoch state-dict swap dance)."""
         cfg, tcfg = self.cfg, self.tcfg
         best_ndcg, best_params, stop = 0.0, self.params, 0
         mode = "valid" if not cfg.sparse or cfg.override_sparse else "test"
         for epoch in range(1, tcfg.num_epochs + 1):
             t0 = time.time()
             loss = self.train_epoch()
+            if second is not None:
+                second.adopt(self)
+                loss2 = second.train_epoch()
+                self.adopt(second)
+                self.logger.info(f"epoch {epoch} dataset-2 loss {loss2:.4f}")
             self.logger.info(
                 f"epoch {epoch}: loss {loss:.4f} ({time.time() - t0:.2f}s)"
             )
@@ -383,6 +439,9 @@ class PrepRecTrainer:
                 self.logger.info(
                     f"epoch {epoch} {mode}: NDCG@{cfg.topk[0]} {ndcg}, HR@{cfg.topk[0]} {hr}"
                 )
+                if second is not None:
+                    m2, _ = second.evaluate(mode)
+                    self.logger.info(f"epoch {epoch} {mode} dataset-2: {m2}")
                 ckpt.save_params(self.params, os.path.join(self.write_dir, f"epoch={epoch}.ckpt"))
                 if ndcg > best_ndcg:
                     best_ndcg, best_params, stop = ndcg, self.params, 0

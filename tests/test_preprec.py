@@ -225,3 +225,60 @@ def test_augment_batch_preserves_shape():
     a1, a2 = augment_batch(rng, seqs, lens)
     assert a1.shape == seqs.shape and a2.shape == seqs.shape
     assert not (a1 == a2).all()  # different views (with high probability)
+
+
+def test_score_export_and_ensembling(synth_dataset, tmp_path):
+    """--save_scores / --use_scores semantics: raw [U, C] scores come
+    back, and alpha-blended ranks reduce to plain ranks at alpha=1
+    (`repo-b/utils.py:522,546-551`)."""
+    from bsarec_tpu.preprec.evaluate import ensemble_ranks
+
+    prefix, _ = synth_dataset
+    ds, cfg, pop, negs = _make_cfg(prefix, "newrec")
+    tcfg = PrepRecTrainConfig(batch_size=16, num_epochs=1, epoch_test=1, seed=5)
+    tr = PrepRecTrainer(cfg, tcfg, ds, _logger(), str(tmp_path / "sc"), pop_enc=pop, usernegs=negs)
+    tr.train_epoch()
+    scores = tr.eval_scores("valid")
+    assert scores.shape == (ds.usernum, negs.shape[1] + 1)
+    assert np.isfinite(scores).all()
+
+    # alpha=1 reproduces ranking on the fresh scores alone (no random
+    # tie-break; scores are continuous so ties have measure zero)
+    loaded = np.zeros_like(scores)
+    (ranks_a1,) = ensemble_ranks(scores, loaded, [1.0])
+    want = np.sum(scores > scores[:, :1], axis=1)
+    np.testing.assert_array_equal(ranks_a1, want)
+    # alpha=0 ranks purely by the loaded scores
+    loaded = np.random.default_rng(0).normal(size=scores.shape)
+    (ranks_a0,) = ensemble_ranks(scores, loaded, [0.0])
+    np.testing.assert_array_equal(ranks_a0, np.sum(loaded > loaded[:, :1], axis=1))
+
+
+def test_user_embedding_export(synth_dataset, tmp_path):
+    """`newrec_user` capability (`repo-b/utils.py:575-621`): per-user
+    final encoder states, usable for cross-domain transfer analysis."""
+    prefix, _ = synth_dataset
+    ds, cfg, pop, negs = _make_cfg(prefix, "newrec")
+    tcfg = PrepRecTrainConfig(batch_size=16, num_epochs=1, epoch_test=1, seed=6)
+    tr = PrepRecTrainer(cfg, tcfg, ds, _logger(), str(tmp_path / "ue"), pop_enc=pop, usernegs=negs)
+    tr.train_epoch()
+    emb = tr.user_embeddings("valid")
+    assert emb.shape == (ds.usernum, cfg.hidden_units)
+    assert np.isfinite(emb).all()
+    assert np.abs(emb).sum() > 0
+
+
+def test_dual_dataset_training(synth_dataset, tmp_path):
+    """Concurrent dual-dataset training (`repo-b/train_test.py:132-171`):
+    the same parameters alternate between two datasets' batches."""
+    prefix, _ = synth_dataset
+    ds, cfg, pop, negs = _make_cfg(prefix, "newrec")
+    tcfg = PrepRecTrainConfig(batch_size=16, num_epochs=2, epoch_test=2, stop_early=5, seed=7)
+    t1 = PrepRecTrainer(cfg, tcfg, ds, _logger(), str(tmp_path / "d1"), pop_enc=pop, usernegs=negs)
+    t2 = PrepRecTrainer(cfg, tcfg, ds, _logger(), str(tmp_path / "d2"), pop_enc=pop, usernegs=negs)
+    before = jax.tree.leaves(t1.params)[0].copy()
+    t1.fit(second=t2)
+    # both trainers end on the identical (shared) parameters
+    same = jax.tree.map(lambda a, b: np.allclose(a, b), t1.params, t2.params)
+    assert all(jax.tree.leaves(same))
+    assert not np.allclose(before, jax.tree.leaves(t1.params)[0])
