@@ -38,6 +38,10 @@ def parse_args(argv=None):
         help="path to a reference PyTorch .pt state-dict to import",
     )
     parser.add_argument("--train_name", default=get_local_time(), type=str)
+    parser.add_argument(
+        "--profile", default=None, type=str,
+        help="write a jax.profiler trace of the run to this directory",
+    )
     # train
     parser.add_argument("--lr", default=0.001, type=float)
     parser.add_argument("--batch_size", default=256, type=int)
@@ -123,6 +127,8 @@ def main(argv=None):
     checkpoint_path = os.path.join(args.output_dir, args.train_name + ".ckpt")
     trainer = Trainer(model_cfg, train_cfg, data, logger, checkpoint_path)
 
+    from bsarec_tpu.utils.profiling import trace
+
     if args.do_eval:
         if args.load_torch_model is not None:
             from bsarec_tpu.train.torch_import import import_torch_checkpoint
@@ -139,7 +145,8 @@ def main(argv=None):
             logger.info(f"Load model from {args.load_model} for test!")
         scores, result_info = trainer.test(0)
     else:
-        scores, result_info = trainer.fit()
+        with trace(args.profile):
+            scores, result_info = trainer.fit()
 
     logger.info(args.train_name)
     logger.info(result_info)

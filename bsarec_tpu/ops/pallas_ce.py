@@ -414,7 +414,7 @@ def streaming_softmax_ce(
     n_valid: int | None = None,  # logits over cols >= n_valid are -inf
     block_b: int = 256,
     block_v: int = 2048,
-    interpret: bool = False,
+    interpret: bool | None = None,  # None: interpret off-TPU (CPU tests)
 ) -> jnp.ndarray:
     """Per-example CE over the full catalog without materializing [B, V].
 
@@ -425,6 +425,10 @@ def streaming_softmax_ce(
     """
     loss, _ = _fwd_rule(states, table, answers, n_valid, block_b, block_v, interpret)
     return loss
+
+
+def _resolve_interpret(interpret):
+    return jax.default_backend() != "tpu" if interpret is None else interpret
 
 
 def _prep(states, table, answers, n_valid, block_b, block_v):
@@ -451,6 +455,7 @@ def _prep(states, table, answers, n_valid, block_b, block_v):
 
 
 def _fwd_rule(states, table, answers, n_valid, block_b, block_v, interpret):
+    interpret = _resolve_interpret(interpret)
     sp, t2, a128, nva, bt, vt, h, pack, b, v = _prep(
         states, table, answers, n_valid, block_b, block_v
     )
@@ -459,6 +464,7 @@ def _fwd_rule(states, table, answers, n_valid, block_b, block_v, interpret):
 
 
 def _bwd_rule(n_valid, block_b, block_v, interpret, res, dloss):
+    interpret = _resolve_interpret(interpret)
     states, table, answers, logz = res
     sp, t2, a128, nva, bt, vt, h, pack, b, v = _prep(
         states, table, answers, n_valid, block_b, block_v

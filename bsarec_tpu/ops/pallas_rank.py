@@ -151,9 +151,11 @@ def streaming_masked_topk(
     k: int = 20,
     n_valid: int | None = None,
     block_b: int = 128,  # [bt, 4096] f32/i32 live tiles: bt=128 fits 16M VMEM
-    interpret: bool = False,
+    interpret: bool | None = None,  # None: interpret off-TPU (CPU tests)
 ):
     """Returns (values [B, k], item ids [B, k]) of the masked catalog scores."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     b, h = states.shape
     v = table.shape[0]
     n_valid = v if n_valid is None else n_valid

@@ -22,6 +22,7 @@ from bsarec_tpu.ops.topk import metrics_from_sums
 from bsarec_tpu.train import checkpoint as ckpt
 from bsarec_tpu.train.loop import build_eval_fn, build_train_epoch, make_optimizer
 from bsarec_tpu.utils.early_stopping import EarlyStopping
+from bsarec_tpu.utils.profiling import Throughput, annotate
 
 CONTRASTIVE_MODELS = ("duorec", "fearec")
 
@@ -152,20 +153,25 @@ class Trainer:
             logger=self.logger,
             patience=self.train_cfg.patience,
         )
+        tput = Throughput()
         for epoch in range(self.train_cfg.epochs):
-            t0 = time.time()
-            self.train(epoch)
+            tput.start()
+            with annotate("train_epoch"):
+                self.train(epoch)
+            rate = tput.stop(self.data.train.num_samples)
             t1 = time.time()
-            scores, _ = self.valid(epoch)
+            with annotate("eval_epoch"):
+                scores, _ = self.valid(epoch)
             t2 = time.time()
             self.logger.info(
-                f"epoch {epoch}: train {t1 - t0:.2f}s "
-                f"({self.data.train.num_samples / (t1 - t0):.0f} ex/s), eval {t2 - t1:.2f}s"
+                f"epoch {epoch}: train {rate:.0f} ex/s, eval {t2 - t1:.2f}s"
             )
             stopper(np.array(scores[-1:]), None)
             if stopper.early_stop:
                 self.logger.info("Early stopping")
                 break
+        if tput.steady_rate:
+            self.logger.info(f"steady-state train throughput: {tput.steady_rate:.0f} examples/s")
         self.logger.info("---------------Test Score---------------")
         self.load()
         scores, result_info = self.test(0)

@@ -92,3 +92,29 @@ def test_contrastive_model_trains(tmp_path):
     trainer = Trainer(model_cfg, train_cfg, data, _quiet_logger(), str(tmp_path / "m.ckpt"))
     loss = trainer.train(0)
     assert np.isfinite(loss)
+
+
+def test_streaming_eval_matches_dense(tmp_path):
+    """The Pallas streaming rank path (used on TPU for 256k+ catalogs)
+    produces the same HR/NDCG as the dense XLA path (interpret mode)."""
+    corpus = synthetic_corpus()
+    data = SeqRecData(corpus, max_len=10)
+    model_cfg = ModelConfig(
+        model_type="bsarec", item_size=corpus.item_size, num_users=corpus.num_users + 1,
+        max_seq_length=10, hidden_size=16, num_hidden_layers=1, num_attention_heads=1,
+        hidden_dropout_prob=0.1, attention_probs_dropout_prob=0.1, c=3, alpha=0.7,
+    )
+    base = TrainConfig(lr=0.01, batch_size=32, epochs=1, seed=9, log_freq=100)
+    dense = Trainer(model_cfg, base, data, _quiet_logger(), str(tmp_path / "d.ckpt"))
+    dense.train(0)
+
+    import dataclasses
+
+    stream_cfg = dataclasses.replace(base, eval_impl="streaming")
+    stream = Trainer(model_cfg, stream_cfg, data, _quiet_logger(), str(tmp_path / "s.ckpt"))
+    assert stream.eval_impl == "streaming"
+    stream.params = dense.params  # identical weights
+
+    s_dense, _ = dense.valid(0)
+    s_stream, _ = stream.valid(0)
+    np.testing.assert_allclose(np.asarray(s_stream), np.asarray(s_dense), atol=1e-6)
