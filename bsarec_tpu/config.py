@@ -67,3 +67,7 @@ class TrainConfig:
     # "auto" | "dense" | "streaming": full-catalog eval implementation
     # (streaming = Pallas vocab-sweep kernel, ops/pallas_rank.py)
     eval_impl: str = "auto"
+    # device mesh spec: "" = single device; "auto" = all devices on the
+    # data axis; "data:N,model:M" = explicit 2-D mesh (model shards the
+    # item table rows / logit columns). See core/mesh.py.
+    mesh: str = ""

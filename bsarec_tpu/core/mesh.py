@@ -44,6 +44,19 @@ class MeshConfig:
         return data, model
 
 
+def parse_mesh_spec(spec: str) -> MeshConfig | None:
+    """"" -> None; "auto" -> all devices data-parallel; "data:N,model:M"."""
+    if not spec:
+        return None
+    if spec == "auto":
+        return MeshConfig()
+    kw = {}
+    for part in spec.split(","):
+        axis, _, n = part.partition(":")
+        kw[axis.strip()] = int(n)
+    return MeshConfig(**kw)
+
+
 def make_mesh(config: MeshConfig | None = None, devices=None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     config = config or MeshConfig()

@@ -42,6 +42,18 @@ def parse_args(argv=None):
         "--profile", default=None, type=str,
         help="write a jax.profiler trace of the run to this directory",
     )
+    parser.add_argument(
+        "--resume", action="store_true",
+        help="resume an interrupted run from its full-state snapshot",
+    )
+    parser.add_argument(
+        "--mesh", default="", type=str,
+        help='device mesh: "" (single), "auto", or "data:N,model:M"',
+    )
+    parser.add_argument(
+        "--eval_impl", default="auto", type=str,
+        help='full-catalog eval path: auto | dense | streaming',
+    )
     # train
     parser.add_argument("--lr", default=0.001, type=float)
     parser.add_argument("--batch_size", default=256, type=int)
@@ -108,6 +120,8 @@ def configs_from_args(args, item_size: int, num_users: int):
         adam_beta1=args.adam_beta1,
         adam_beta2=args.adam_beta2,
         log_freq=args.log_freq,
+        eval_impl=getattr(args, "eval_impl", "auto"),
+        mesh=getattr(args, "mesh", ""),
     )
     return model_cfg, train_cfg
 
@@ -145,8 +159,9 @@ def main(argv=None):
             logger.info(f"Load model from {args.load_model} for test!")
         scores, result_info = trainer.test(0)
     else:
+        start_epoch = trainer.resume() if args.resume else 0
         with trace(args.profile):
-            scores, result_info = trainer.fit()
+            scores, result_info = trainer.fit(start_epoch)
 
     logger.info(args.train_name)
     logger.info(result_info)

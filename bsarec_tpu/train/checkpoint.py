@@ -7,6 +7,12 @@ validation improvement and reloaded for the final test. Uses flax
 msgpack serialization; a `filter_fn` hook supports PREPRec-style
 transfer loads that drop dataset-specific buffers
 (`repo-b/main.py:158-160`).
+
+Beyond the reference, `save_train_state`/`load_train_state` checkpoint
+the FULL training state (params + Adam moments + epoch + PRNG key) so
+an interrupted run resumes exactly where it stopped (`--resume`): the
+crash-recovery story the reference lacks (SURVEY.md §5, failure
+detection: "crashes are fatal").
 """
 
 from __future__ import annotations
@@ -30,6 +36,32 @@ def load_params(template_params, path: str | Path, filter_fn=None):
     if filter_fn is not None:
         restored = filter_fn(template_params, restored)
     return restored
+
+
+def save_train_state(path: str | Path, params, opt_state, epoch: int, rng) -> None:
+    """Full resumable state: params, optimizer state, epoch, PRNG key."""
+    state = {
+        "params": jax.device_get(params),
+        "opt_state": jax.device_get(opt_state),
+        "epoch": epoch,
+        "rng": jax.device_get(rng),
+    }
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "wb") as fh:
+        fh.write(flax.serialization.to_bytes(state))
+
+
+def load_train_state(path: str | Path, params, opt_state, rng):
+    """Restore a `save_train_state` checkpoint against matching templates."""
+    template = {
+        "params": jax.device_get(params),
+        "opt_state": jax.device_get(opt_state),
+        "epoch": 0,
+        "rng": jax.device_get(rng),
+    }
+    with open(path, "rb") as fh:
+        state = flax.serialization.from_bytes(template, fh.read())
+    return state["params"], state["opt_state"], int(state["epoch"]), state["rng"]
 
 
 def transfer_filter(exclude_prefixes: tuple[str, ...]):

@@ -22,6 +22,23 @@ import optax
 
 from bsarec_tpu.ops.topk import masked_topk, topk_metrics
 
+try:
+    from jax.sharding import NamedSharding, PartitionSpec as P
+except ImportError:  # pragma: no cover
+    NamedSharding = P = None
+
+
+def _data_constraint(tree, mesh):
+    """Force [B, ...] arrays onto the data axis (replicated otherwise)."""
+    if mesh is None:
+        return tree
+
+    def constrain(x):
+        spec = P("data", *([None] * (x.ndim - 1)))
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(constrain, tree)
+
 
 def make_optimizer(train_cfg) -> optax.GradientTransformation:
     """torch.optim.Adam semantics (`src/trainers.py:27-28`): L2-in-grad
@@ -63,9 +80,14 @@ def sample_negatives(key, input_ids, answers, item_size, rounds: int = 8):
     return cand
 
 
-def build_train_epoch(model, tx, item_size: int, batch_size: int, num_samples: int, with_sem: bool):
+def build_train_epoch(model, tx, item_size: int, batch_size: int, num_samples: int, with_sem: bool, mesh=None):
     """Returns a jitted `epoch(params, opt_state, key, inputs, answers,
-    users, sem) -> (params, opt_state, mean_loss)`."""
+    users, sem) -> (params, opt_state, mean_loss)`.
+
+    With a mesh, each step's batch is constrained onto the `data` axis;
+    parameter placement (replicated dense tower, vocab-sharded item
+    table) is decided by the caller and XLA's SPMD partitioner inserts
+    the psum/all-gather collectives."""
     steps = math.ceil(num_samples / batch_size)
     padded = steps * batch_size
 
@@ -105,6 +127,7 @@ def build_train_epoch(model, tx, item_size: int, batch_size: int, num_samples: i
             batch["neg_answers"] = sample_negatives(
                 neg_key, batch["input_ids"], batch["answers"], item_size
             )
+            batch = _data_constraint(batch, mesh)
             loss, grads = grad_fn(params, batch, drop_key)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -123,7 +146,7 @@ def build_train_epoch(model, tx, item_size: int, batch_size: int, num_samples: i
 STREAMING_RANK_MIN_VOCAB = 262_144
 
 
-def build_eval_fn(model, item_size: int, batch_size: int, num_users: int, impl: str = "auto"):
+def build_eval_fn(model, item_size: int, batch_size: int, num_users: int, impl: str = "auto", mesh=None):
     """Returns a jitted `evaluate(params, inputs, answers, seen) ->
     metric sums` (see `ops.topk.topk_metrics` layout).
 
@@ -150,7 +173,7 @@ def build_eval_fn(model, item_size: int, batch_size: int, num_users: int, impl: 
         def body(sums, idx):
             valid = (idx < num_users).astype(jnp.float32)
             safe = jnp.minimum(idx, num_users - 1)
-            batch_inputs = inputs[safe]
+            batch_inputs = _data_constraint(inputs[safe], mesh)
             out, table = model.apply(
                 {"params": params}, batch_inputs, safe, method=predict_and_table
             )

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from bsarec_tpu.config import ModelConfig, TrainConfig
+from bsarec_tpu.core import mesh as meshlib
 from bsarec_tpu.data.pipeline import SeqRecData
 from bsarec_tpu.models import build_model
 from bsarec_tpu.ops.topk import metrics_from_sums
@@ -54,7 +55,33 @@ class Trainer:
         )
         self.params = variables["params"]
         self.tx = make_optimizer(train_cfg)
-        self.opt_state = self.tx.init(self.params)
+
+        # optional multi-device mesh: data-parallel dense tower, vocab-
+        # sharded item table (+ Adam moments following their params)
+        mesh_cfg = meshlib.parse_mesh_spec(train_cfg.mesh)
+        self.mesh = meshlib.make_mesh(mesh_cfg) if mesh_cfg else None
+        if self.mesh is not None:
+            vocab = meshlib.vocab_sharding(self.mesh)
+            repl = meshlib.replicated(self.mesh)
+
+            def placement(path, leaf):
+                keys = tuple(str(getattr(k, "key", k)) for k in path)
+                shard_vocab = (
+                    "item_embeddings" in keys
+                    and self.mesh.shape[meshlib.MODEL_AXIS] > 1
+                    # row-sharding needs the vocab divisible by the axis;
+                    # small catalogs just replicate (sharding them buys
+                    # nothing — the table fits everywhere)
+                    and leaf.shape[0] % self.mesh.shape[meshlib.MODEL_AXIS] == 0
+                )
+                return vocab if shard_vocab else repl
+
+            shardings = jax.tree_util.tree_map_with_path(placement, self.params)
+            self.params = jax.tree.map(jax.device_put, self.params, shardings)
+            self.opt_state = jax.jit(self.tx.init)(self.params)
+            logger.info(f"mesh: {dict(self.mesh.shape)}")
+        else:
+            self.opt_state = self.tx.init(self.params)
 
         n_params = sum(x.size for x in jax.tree.leaves(self.params))
         logger.info(f"Total Parameters: {n_params}")
@@ -72,6 +99,7 @@ class Trainer:
             train_cfg.batch_size,
             data.train.num_samples,
             self.with_sem,
+            mesh=self.mesh,
         )
         self._eval_fn, _, self.eval_impl = build_eval_fn(
             self.model,
@@ -79,6 +107,7 @@ class Trainer:
             train_cfg.eval_batch_size,
             data.valid.num_users,
             impl=train_cfg.eval_impl,
+            mesh=self.mesh,
         )
 
         self._eval_dev = {}
@@ -146,15 +175,32 @@ class Trainer:
     def load(self, path: str | None = None, filter_fn=None):
         self.params = ckpt.load_params(self.params, path or self.checkpoint_path, filter_fn)
 
+    # ---- crash recovery (beyond the reference: SURVEY.md §5) -------------
+    @property
+    def state_path(self) -> str:
+        return self.checkpoint_path + ".state"
+
+    def save_state(self, epoch: int):
+        ckpt.save_train_state(self.state_path, self.params, self.opt_state, epoch, self.rng)
+
+    def resume(self) -> int:
+        """Restore params/optimizer/PRNG from the latest state snapshot;
+        returns the next epoch to run."""
+        self.params, self.opt_state, epoch, self.rng = ckpt.load_train_state(
+            self.state_path, self.params, self.opt_state, self.rng
+        )
+        self.logger.info(f"resumed full train state from {self.state_path} (epoch {epoch})")
+        return epoch + 1
+
     # ---- full run (reference: src/main.py:51-64) ------------------------
-    def fit(self):
+    def fit(self, start_epoch: int = 0):
         stopper = EarlyStopping(
             save_fn=lambda _: self.save(),
             logger=self.logger,
             patience=self.train_cfg.patience,
         )
         tput = Throughput()
-        for epoch in range(self.train_cfg.epochs):
+        for epoch in range(start_epoch, self.train_cfg.epochs):
             tput.start()
             with annotate("train_epoch"):
                 self.train(epoch)
@@ -167,6 +213,7 @@ class Trainer:
                 f"epoch {epoch}: train {rate:.0f} ex/s, eval {t2 - t1:.2f}s"
             )
             stopper(np.array(scores[-1:]), None)
+            self.save_state(epoch)
             if stopper.early_stop:
                 self.logger.info("Early stopping")
                 break

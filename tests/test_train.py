@@ -118,3 +118,64 @@ def test_streaming_eval_matches_dense(tmp_path):
     s_dense, _ = dense.valid(0)
     s_stream, _ = stream.valid(0)
     np.testing.assert_allclose(np.asarray(s_stream), np.asarray(s_dense), atol=1e-6)
+
+
+def test_resume_from_state_snapshot(tmp_path):
+    """Crash recovery: params + Adam moments + PRNG round-trip exactly."""
+    corpus = synthetic_corpus()
+    data = SeqRecData(corpus, max_len=10)
+    model_cfg = ModelConfig(
+        model_type="sasrec", item_size=corpus.item_size, num_users=corpus.num_users + 1,
+        max_seq_length=10, hidden_size=16, num_hidden_layers=1, num_attention_heads=1,
+        hidden_dropout_prob=0.1, attention_probs_dropout_prob=0.1,
+    )
+    cfg = TrainConfig(lr=0.01, batch_size=32, epochs=2, seed=3, log_freq=100)
+    a = Trainer(model_cfg, cfg, data, _quiet_logger(), str(tmp_path / "a.ckpt"))
+    a.train(0)
+    a.save_state(0)
+
+    b = Trainer(model_cfg, cfg, data, _quiet_logger(), str(tmp_path / "a.ckpt"))
+    next_epoch = b.resume()
+    assert next_epoch == 1
+    same = jax.tree.map(lambda x, y: np.allclose(x, y), a.params, b.params)
+    assert all(jax.tree.leaves(same))
+    same_opt = jax.tree.map(
+        lambda x, y: np.allclose(x, y), jax.tree.leaves(a.opt_state), jax.tree.leaves(b.opt_state)
+    )
+    assert all(jax.tree.leaves(same_opt))
+    # training continues identically from the snapshot
+    la = a.train(1)
+    lb = b.train(1)
+    assert abs(la - lb) < 1e-6
+
+
+def test_mesh_parallel_training_matches_single_device(tmp_path):
+    """data:4,model:2 mesh training (8 virtual CPU devices) follows the
+    single-device loss trajectory and reproduces its eval metrics — the
+    SPMD partitioning must be semantics-preserving."""
+    corpus = synthetic_corpus(n_items=31)  # item_size 32: divisible by model axis
+    data = SeqRecData(corpus, max_len=10)
+    model_cfg = ModelConfig(
+        model_type="bsarec", item_size=corpus.item_size, num_users=corpus.num_users + 1,
+        max_seq_length=10, hidden_size=16, num_hidden_layers=1, num_attention_heads=1,
+        hidden_dropout_prob=0.1, attention_probs_dropout_prob=0.1, c=3, alpha=0.7,
+    )
+    base = TrainConfig(lr=0.01, batch_size=32, epochs=2, seed=11, log_freq=100)
+    single = Trainer(model_cfg, base, data, _quiet_logger(), str(tmp_path / "s.ckpt"))
+
+    import dataclasses
+
+    mesh_cfg = dataclasses.replace(base, mesh="data:4,model:2")
+    meshed = Trainer(model_cfg, mesh_cfg, data, _quiet_logger(), str(tmp_path / "m.ckpt"))
+    assert meshed.mesh is not None and dict(meshed.mesh.shape) == {"data": 4, "model": 2}
+    # the item table is genuinely row-sharded over the model axis
+    table_sharding = meshed.params["item_embeddings"]["embedding"].sharding
+    assert "model" in str(table_sharding.spec)
+
+    losses_s = [single.train(e) for e in range(2)]
+    losses_m = [meshed.train(e) for e in range(2)]
+    np.testing.assert_allclose(losses_m, losses_s, rtol=2e-4)
+
+    ms, _ = single.valid(0)
+    mm, _ = meshed.valid(0)
+    np.testing.assert_allclose(np.asarray(mm), np.asarray(ms), atol=1e-5)
