@@ -63,9 +63,26 @@ class SeqRecData:
         self.corpus = corpus
         self.max_len = max_len
         self.item_size = corpus.item_size
-        self.train = self._build_train(corpus.user_seq, max_len)
-        self.valid = self._build_eval(corpus.user_seq, max_len, mode="valid")
-        self.test = self._build_eval(corpus.user_seq, max_len, mode="test")
+
+        from bsarec_tpu import native
+
+        offsets = items = None
+        if native.lib() is not None:
+            offsets, items = corpus.csr
+        if offsets is not None:
+            # native fast path (native/seqrec.cpp), identical outputs —
+            # pinned by tests/test_native.py
+            inputs, answers, users = native.prefix_expand(offsets, items, max_len)
+            self.train = TrainSplit(inputs, answers, users)
+            lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+            for mode, drop in (("valid", 2), ("test", 1)):
+                seen_w = max(int((lens - drop).max(initial=1)), 1)
+                ins, ans, seen = native.eval_split(offsets, items, max_len, drop, seen_w)
+                setattr(self, mode, EvalSplit(ins, ans, seen))
+        else:
+            self.train = self._build_train(corpus.lists, max_len)
+            self.valid = self._build_eval(corpus.lists, max_len, mode="valid")
+            self.test = self._build_eval(corpus.lists, max_len, mode="test")
         self._same_target_groups = None
 
     @staticmethod
@@ -143,16 +160,25 @@ class SeqRecData:
         n = answers.shape[0]
         group_start = starts[answers]
         group_size = np.maximum(ends[answers] - group_start, 1)
-        pick = order[group_start + (rng.integers(0, 1 << 62, size=n) % group_size)]
-        # re-pick rows that landed on an identical sequence while the
-        # group offers diversity (bounded retries — collision prob decays)
-        for _ in range(8):
-            bad = (hashed[pick] == hashed[np.arange(n)]) & diversity[answers]
-            if not bad.any():
-                break
-            idx = np.nonzero(bad)[0]
-            repick = order[group_start[idx] + (rng.integers(0, 1 << 62, size=idx.size) % group_size[idx])]
-            pick[idx] = repick
+
+        from bsarec_tpu import native
+
+        pick = native.same_target_pick(
+            order.astype(np.int32), group_start.astype(np.int32),
+            group_size.astype(np.int32), diversity[answers].astype(np.uint8),
+            hashed, int(rng.integers(0, 2**63 - 1)),
+        )
+        if pick is None:  # numpy fallback, same semantics
+            pick = order[group_start + (rng.integers(0, 1 << 62, size=n) % group_size)]
+            # re-pick rows that landed on an identical sequence while the
+            # group offers diversity (bounded retries — collision prob decays)
+            for _ in range(8):
+                bad = (hashed[pick] == hashed[np.arange(n)]) & diversity[answers]
+                if not bad.any():
+                    break
+                idx = np.nonzero(bad)[0]
+                repick = order[group_start[idx] + (rng.integers(0, 1 << 62, size=idx.size) % group_size[idx])]
+                pick[idx] = repick
         sem = self.train.input_ids[pick].copy()
         # reference uses sem_aug[:-1] (drops the answer; inputs already
         # exclude it) — the picked row's *input* is exactly that view

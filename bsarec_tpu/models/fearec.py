@@ -196,14 +196,19 @@ class FEARecModel(SequentialRecModel):
             loss += cfg.lmd_sem * info_nce_logits(aug_output, sem_output, cfg.tau, cfg.sim)
 
         if cfg.fredom:
-            # rfft over the hidden axis of the [B, H] states (fearec.py:132-134)
-            f_seq = jnp.fft.rfft(seq_output, axis=1, norm="ortho")
-            f_aug = jnp.fft.rfft(aug_output, axis=1, norm="ortho") if aug_output is not None else None
-            f_sem = jnp.fft.rfft(sem_output, axis=1, norm="ortho") if sem_output is not None else None
-            if cfg.fredom_type in ("us", "un") and f_aug is not None:
-                loss += 0.1 * jnp.mean(jnp.abs(f_seq - f_aug))
-            if cfg.fredom_type in ("us", "su") and f_sem is not None:
-                loss += 0.1 * jnp.mean(jnp.abs(f_seq - f_sem))
-            if cfg.fredom_type == "us_x" and f_aug is not None and f_sem is not None:
-                loss += 0.1 * jnp.mean(jnp.abs(f_aug - f_sem))
+            # rfft over the hidden axis of the [B, H] states
+            # (fearec.py:132-134), via DFT matmuls (no TPU FFT lowering):
+            # |rfft(a) - rfft(b)| = sqrt(dRe^2 + dIm^2) elementwise
+            from bsarec_tpu.ops.frequency import rfft_real_imag
+
+            def fre_l1(a, b):
+                dre, dim = rfft_real_imag(a - b, axis=1)
+                return jnp.mean(jnp.sqrt(dre**2 + dim**2 + 1e-12))
+
+            if cfg.fredom_type in ("us", "un") and aug_output is not None:
+                loss += 0.1 * fre_l1(seq_output, aug_output)
+            if cfg.fredom_type in ("us", "su") and sem_output is not None:
+                loss += 0.1 * fre_l1(seq_output, sem_output)
+            if cfg.fredom_type == "us_x" and aug_output is not None and sem_output is not None:
+                loss += 0.1 * fre_l1(aug_output, sem_output)
         return loss

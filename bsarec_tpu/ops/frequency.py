@@ -81,13 +81,50 @@ def bandpass_matrices(seq_len: int, left: int, right: int):
     return r_re, r_im, a_re, a_im, bp
 
 
+@functools.lru_cache(maxsize=64)
+def rfft_matrices(seq_len: int):
+    """Real matrices realizing ortho rFFT analysis/synthesis along a
+    length-`seq_len` axis: R_re/R_im [F, L] (signal -> Re/Im spectrum),
+    A_re/A_im [L, F] (spectrum -> signal via irfft). Needed because the
+    TPU AOT compiler in this environment lacks an FFT lowering — and for
+    L<=200 four [L, F] matmuls on the MXU beat an FFT pipeline anyway.
+    """
+    eye = np.eye(seq_len, dtype=np.float64)
+    spec = np.fft.rfft(eye, axis=0, norm="ortho")  # [F, L]
+    nfreq = seq_len // 2 + 1
+    scatter = np.eye(nfreq, dtype=np.complex128)
+    a_re = np.fft.irfft(scatter, n=seq_len, axis=0, norm="ortho")  # [L, F]
+    a_im = np.fft.irfft(scatter * 1j, n=seq_len, axis=0, norm="ortho")
+    return (
+        spec.real.astype(np.float32), spec.imag.astype(np.float32),
+        a_re.astype(np.float32), a_im.astype(np.float32),
+    )
+
+
+def rfft_real_imag(x: jnp.ndarray, axis: int = 1):
+    """(Re, Im) of the ortho rFFT along `axis`, via DFT matmuls."""
+    r_re, r_im, _, _ = rfft_matrices(x.shape[axis])
+    r_re, r_im = jnp.asarray(r_re), jnp.asarray(r_im)
+    moved = jnp.moveaxis(x, axis, -1)
+    re = jnp.moveaxis(moved @ r_re.T, -1, axis)
+    im = jnp.moveaxis(moved @ r_im.T, -1, axis)
+    return re, im
+
+
 def complex_filter_apply(x: jnp.ndarray, w_real: jnp.ndarray, w_imag: jnp.ndarray) -> jnp.ndarray:
     """FMLP-Rec learnable spectral filter (ortho-normalized).
 
     x: [B, L, H]; w_real/w_imag: [1, L//2+1, H] (torch `complex_weight`
     split into real/imag planes so parameters stay real pytree leaves).
+    Computed as irfft(rfft(x) * w) with real DFT matmuls (see
+    `rfft_matrices`): S = (R x) * w; y = A_re S_re + A_im S_im.
     """
     seq_len = x.shape[1]
-    spec = jnp.fft.rfft(x, axis=1, norm="ortho")
-    spec = spec * (w_real + 1j * w_imag)
-    return jnp.fft.irfft(spec, n=seq_len, axis=1, norm="ortho")
+    r_re, r_im, a_re, a_im = (jnp.asarray(m) for m in rfft_matrices(seq_len))
+    s_re = jnp.einsum("fl,blh->bfh", r_re, x)
+    s_im = jnp.einsum("fl,blh->bfh", r_im, x)
+    out_re = s_re * w_real - s_im * w_imag
+    out_im = s_re * w_imag + s_im * w_real
+    return jnp.einsum("lf,bfh->blh", a_re, out_re) + jnp.einsum(
+        "lf,bfh->blh", a_im, out_im
+    )

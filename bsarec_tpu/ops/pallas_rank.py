@@ -55,6 +55,12 @@ def build_seen_bitmask(seen_items: np.ndarray, vocab_size: int) -> np.ndarray:
     reference's 0-padded seen lists zero column 0 for every user
     (`src/trainers.py:134`).
     """
+    from bsarec_tpu import native
+
+    fast = native.seen_bitmask(np.asarray(seen_items), vocab_size, TILE_COLS)
+    if fast is not None:
+        return fast
+
     w = TILE_COLS // 32
     vp = -(-vocab_size // TILE_COLS) * TILE_COLS
     out = np.zeros((seen_items.shape[0], vp // 32), np.uint32)

@@ -1,0 +1,225 @@
+// Native host-side data runtime for bsarec_tpu.
+//
+// The TPU device pipeline is pure XLA/Pallas; this library accelerates the
+// *host* side of the input pipeline, which matters because training hosts
+// often give one CPU core per accelerator. Python/numpy costs on Amazon
+// Beauty (22k users / 198k interactions, 1-core host): corpus parse 1.9 s,
+// per-epoch DuoRec same-target resample 1.1 s (vs ~1 s of device time per
+// epoch!), eval seen-bitmask build 1.8 s. These routines bring each to
+// milliseconds.
+//
+// Exposed as a plain C ABI consumed via ctypes (no pybind11 dependency);
+// built on demand by bsarec_tpu/native/__init__.py with `g++ -O3 -shared`.
+// Every routine is deterministic; the resampler uses splitmix64 streams so
+// results are reproducible across platforms (unlike numpy Generator state).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// corpus parsing: "user item item ..." lines -> CSR (offsets, items)
+// ---------------------------------------------------------------------------
+
+// Pass 1: count users and total items. Returns 0 on success.
+int corpus_count(const char* path, int64_t* n_users, int64_t* n_items) {
+  FILE* fh = fopen(path, "rb");
+  if (!fh) return 1;
+  int64_t users = 0, items = 0;
+  int c, prev = '\n';
+  bool in_tok = false, first_tok = true;
+  while ((c = fgetc(fh)) != EOF) {
+    if (c == '\n') {
+      if (in_tok && !first_tok) items++;
+      if (prev != '\n') users++;
+      in_tok = false;
+      first_tok = true;
+    } else if (c == ' ' || c == '\t' || c == '\r') {
+      if (in_tok) {
+        if (!first_tok) items++;
+        else first_tok = false;
+        in_tok = false;
+      }
+    } else {
+      in_tok = true;
+    }
+    prev = c;
+  }
+  if (in_tok) {
+    if (!first_tok) items++;
+    users++;
+  } else if (prev != '\n' && prev != EOF && users == 0) {
+    // empty file
+  }
+  fclose(fh);
+  *n_users = users;
+  *n_items = items;
+  return 0;
+}
+
+// Pass 2: fill offsets[n_users + 1] and items[n_items]; returns max item id.
+int corpus_fill(const char* path, int32_t* offsets, int32_t* items,
+                int32_t* max_item) {
+  FILE* fh = fopen(path, "rb");
+  if (!fh) return 1;
+  int64_t user = 0, pos = 0;
+  int32_t maxi = 0;
+  offsets[0] = 0;
+  int c;
+  long cur = -1;  // -1: between tokens
+  bool first_tok = true, line_has_content = false;
+  while (true) {
+    c = fgetc(fh);
+    bool is_sep = (c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == EOF);
+    if (!is_sep) {
+      if (cur < 0) cur = 0;
+      cur = cur * 10 + (c - '0');
+      line_has_content = true;
+    } else if (cur >= 0) {
+      if (first_tok) {
+        first_tok = false;  // user id column, discarded (row index = user)
+      } else {
+        items[pos++] = (int32_t)cur;
+        if (cur > maxi) maxi = (int32_t)cur;
+      }
+      cur = -1;
+    }
+    if (c == '\n' || c == EOF) {
+      if (line_has_content) {
+        offsets[++user] = (int32_t)pos;
+        line_has_content = false;
+        first_tok = true;
+      }
+      if (c == EOF) break;
+    }
+  }
+  fclose(fh);
+  *max_item = maxi;
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// training-split construction (reference semantics, src/dataset.py:18-23,
+// 61-117): per user take seq[-(L+2):-2]; one training row per element i
+// with input = left-padded items[:i], answer = items[i].
+// ---------------------------------------------------------------------------
+
+int64_t prefix_rows(const int32_t* offsets, int64_t n_users, int32_t max_len) {
+  int64_t total = 0;
+  for (int64_t u = 0; u < n_users; ++u) {
+    int64_t len = offsets[u + 1] - offsets[u];
+    if (len > 2) {
+      int64_t t = len - 2;
+      total += t < max_len ? t : max_len;
+    }
+  }
+  return total;
+}
+
+void prefix_expand(const int32_t* offsets, const int32_t* items,
+                   int64_t n_users, int32_t max_len, int32_t* inputs,
+                   int32_t* answers, int32_t* users) {
+  int64_t row = 0;
+  for (int64_t u = 0; u < n_users; ++u) {
+    int64_t lo = offsets[u], hi = offsets[u + 1];
+    int64_t len = hi - lo;
+    if (len <= 2) continue;
+    int64_t take = len - 2 < max_len ? len - 2 : max_len;
+    const int32_t* sub = items + (hi - 2 - take);  // seq[-(L+2):-2]
+    for (int64_t i = 0; i < take; ++i) {
+      int32_t* out = inputs + row * max_len;
+      memset(out, 0, sizeof(int32_t) * (max_len - i));
+      for (int64_t j = 0; j < i; ++j) out[max_len - i + j] = sub[j];
+      answers[row] = sub[i];
+      users[row] = (int32_t)u;
+      ++row;
+    }
+  }
+}
+
+// eval split: inputs = left-padded seq[:-drop][-L:], answer = seq[-drop],
+// seen = 0-padded seq[:-drop] (src/dataset.py:96-111 semantics).
+void eval_split(const int32_t* offsets, const int32_t* items, int64_t n_users,
+                int32_t max_len, int32_t drop, int32_t seen_width,
+                int32_t* inputs, int32_t* answers, int32_t* seen) {
+  for (int64_t u = 0; u < n_users; ++u) {
+    int64_t lo = offsets[u], hi = offsets[u + 1];
+    int64_t len = hi - lo;
+    int32_t* in_row = inputs + u * max_len;
+    int32_t* seen_row = seen + u * seen_width;
+    memset(in_row, 0, sizeof(int32_t) * max_len);
+    memset(seen_row, 0, sizeof(int32_t) * seen_width);
+    if (len < drop + 1) {
+      answers[u] = 0;
+      continue;
+    }
+    int64_t hist = len - drop;
+    answers[u] = items[lo + hist];
+    int64_t take = hist < max_len ? hist : max_len;
+    for (int64_t j = 0; j < take; ++j)
+      in_row[max_len - take + j] = items[lo + hist - take + j];
+    for (int64_t j = 0; j < hist && j < seen_width; ++j)
+      seen_row[j] = items[lo + j];
+  }
+}
+
+// ---------------------------------------------------------------------------
+// seen bitmask, bit-plane-per-tile layout (ops/pallas_rank.py):
+// item v -> word (v / TILE) * W + (v % TILE) % W, bit (v % TILE) / W
+// ---------------------------------------------------------------------------
+
+void seen_bitmask(const int32_t* seen, int64_t n_rows, int64_t n_cols,
+                  int64_t vocab, int32_t tile_cols, uint32_t* out,
+                  int64_t out_words) {
+  int64_t w = tile_cols / 32;
+  memset(out, 0, sizeof(uint32_t) * n_rows * out_words);
+  for (int64_t r = 0; r < n_rows; ++r) {
+    uint32_t* row = out + r * out_words;
+    row[0] |= 1u;  // padding item 0
+    const int32_t* ids = seen + r * n_cols;
+    for (int64_t c = 0; c < n_cols; ++c) {
+      int64_t v = ids[c];
+      if (v <= 0 || v >= vocab) continue;
+      int64_t u = v % tile_cols;
+      row[(v / tile_cols) * w + u % w] |= 1u << (u / w);
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// per-epoch same-target resample (DuoRec/FEARec semantic augmentation,
+// src/dataset.py:83-106): for each train row, pick a random *other* row
+// sharing its answer; retry while the pick is an identical sequence and
+// the group offers diversity. splitmix64 keyed on (seed, row, attempt).
+// ---------------------------------------------------------------------------
+
+static inline uint64_t splitmix64(uint64_t x) {
+  x += 0x9E3779B97F4A7C15ull;
+  x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9ull;
+  x = (x ^ (x >> 27)) * 0x94D049BB133111EBull;
+  return x ^ (x >> 31);
+}
+
+void same_target_pick(const int32_t* order, const int32_t* group_start,
+                      const int32_t* group_size, const uint8_t* diverse,
+                      const int64_t* row_hash, int64_t n_rows, uint64_t seed,
+                      int32_t* pick) {
+  for (int64_t i = 0; i < n_rows; ++i) {
+    int32_t start = group_start[i];
+    int32_t size = group_size[i] > 0 ? group_size[i] : 1;
+    int32_t p = order[start + (int32_t)(splitmix64(seed ^ (uint64_t)i) % size)];
+    if (diverse[i]) {
+      for (int attempt = 1; attempt < 9 && row_hash[p] == row_hash[i];
+           ++attempt) {
+        uint64_t r = splitmix64(seed ^ (uint64_t)i ^ ((uint64_t)attempt << 48));
+        p = order[start + (int32_t)(r % size)];
+      }
+    }
+    pick[i] = p;
+  }
+}
+
+}  // extern "C"

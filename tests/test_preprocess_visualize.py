@@ -70,7 +70,7 @@ def test_amazon_pipeline_end_to_end(tmp_path):
 
     corpus = load_corpus(out)
     assert corpus.num_users == stats["users"]
-    assert all(len(s) >= 5 for s in corpus.user_seq)
+    assert all(len(s) >= 5 for s in corpus.lists)
 
 
 def test_ml1m_and_lastfm_parsers(tmp_path):
