@@ -134,7 +134,8 @@ def build_train_epoch(model, tx, item_size: int, batch_size: int, num_samples: i
             return (params, opt_state, loss_sum + loss), None
 
         (params, opt_state, loss_sum), _ = jax.lax.scan(
-            body, (params, opt_state, 0.0), (perm, jnp.arange(steps))
+            body, (params, opt_state, 0.0), (perm, jnp.arange(steps)),
+            unroll=2,  # halves scan-loop overhead; semantics unchanged
         )
         return params, opt_state, loss_sum / steps
 
