@@ -30,6 +30,12 @@ def batch():
 @pytest.mark.parametrize("name", sorted(MODEL_REGISTRY))
 def test_forward_loss_grads(name, batch):
     cfg = ModelConfig(model_type=name, **SMALL)
+    if name == "caser":
+        # caser's grad graph is the heaviest XLA-CPU compile in the suite
+        # (L² window einsum); shrink the sequence axis for this test
+        cfg = cfg.replace(max_seq_length=16)
+        batch = dict(batch, input_ids=batch["input_ids"][:, -16:],
+                     same_target=batch["same_target"][:, -16:])
     model = build_model(cfg)
     rng = jax.random.PRNGKey(0)
     variables = model.init({"params": rng, "dropout": rng}, batch["input_ids"], train=False)
