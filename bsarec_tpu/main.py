@@ -54,6 +54,16 @@ def parse_args(argv=None):
         "--eval_impl", default="auto", type=str,
         help='full-catalog eval path: auto | dense | streaming',
     )
+    # drop-in compatibility no-ops (reference `src/utils.py:58-78`):
+    # device pinning is meaningless on TPU, worker counts belong to the
+    # removed DataLoader, and num_items/num_users/variance are derived or
+    # unused in the reference itself
+    parser.add_argument("--num_items", default=10, type=int, help="(compat no-op)")
+    parser.add_argument("--num_users", default=10, type=int, help="(compat no-op)")
+    parser.add_argument("--no_cuda", action="store_true", help="(compat no-op)")
+    parser.add_argument("--num_workers", default=4, type=int, help="(compat no-op)")
+    parser.add_argument("--gpu_id", default="0", type=str, help="(compat no-op)")
+    parser.add_argument("--variance", default=5, type=float, help="(compat no-op)")
     # train
     parser.add_argument("--lr", default=0.001, type=float)
     parser.add_argument("--batch_size", default=256, type=int)
