@@ -413,7 +413,7 @@ def streaming_softmax_ce(
     answers: jnp.ndarray,  # [B] int32 gold item ids
     n_valid: int | None = None,  # logits over cols >= n_valid are -inf
     block_b: int = 256,
-    block_v: int = 2048,
+    block_v: int = 4096,
     interpret: bool | None = None,  # None: interpret off-TPU (CPU tests)
 ) -> jnp.ndarray:
     """Per-example CE over the full catalog without materializing [B, V].
