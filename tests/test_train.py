@@ -179,3 +179,13 @@ def test_mesh_parallel_training_matches_single_device(tmp_path):
     ms, _ = single.valid(0)
     mm, _ = meshed.valid(0)
     np.testing.assert_allclose(np.asarray(mm), np.asarray(ms), atol=1e-5)
+
+
+def test_throughput_accumulator_skips_compile_epoch():
+    from bsarec_tpu.utils.profiling import Throughput
+
+    t = Throughput()
+    t.start(); t.stop(100)        # compile epoch: excluded
+    t.start(); t.stop(100)
+    t.start(); rate = t.stop(100)
+    assert rate > 0 and t.steady_rate > 0
