@@ -47,6 +47,10 @@ class ModelConfig:
     fredom: bool = True
     # --- gru4rec ---
     gru_hidden_size: int = 64
+    # "auto" | "dense" | "streaming": full-vocab CE implementation. The
+    # trainer forces "dense" when the item table is vocab-sharded over a
+    # mesh (pallas_call has no SPMD partitioning rule).
+    loss_impl: str = "auto"
 
     def replace(self, **kw) -> "ModelConfig":
         return dataclasses.replace(self, **kw)

@@ -10,15 +10,15 @@ axis without any host ever materializing the full batch.
 Design (standard JAX multi-host recipe):
 - `init_distributed()` wires `jax.distributed` from the TPU runtime env
   (no-op in single-process runs);
-- `host_shard(n)` gives this process's contiguous [lo, hi) row range —
-  hosts own disjoint slices of the training set;
+- `host_shard(n)` gives this process's contiguous [lo, hi) row range
+  (for workloads that partition rows up front);
 - `global_batch(local, mesh)` lifts each host's local batch rows into a
   global device array sharded over the `data` axis via
   `jax.make_array_from_process_local_data`;
-- `HostShardedDataset` pre-materializes this host's split rows and
-  yields global per-epoch permutations that are *identical on every
-  host* (all hosts seed the same PRNG), so each host gathers exactly
-  the rows it owns for every step.
+- `HostShardedDataset` yields per-epoch batch schedules that are
+  *identical on every host* (all hosts seed the same PRNG) over global
+  row ids, with each host reading only its slice of every batch (use a
+  np.memmap so unread rows never load).
 
 Single-process behavior is the identity (host owns everything), which
 is what the tests pin; the multi-process path uses only documented JAX
@@ -37,14 +37,26 @@ from bsarec_tpu.core.mesh import DATA_AXIS
 
 
 def init_distributed(**kwargs) -> None:
-    """Initialize jax.distributed across hosts (no-op if single process
-    or already initialized)."""
-    if jax.process_count() > 1:
-        return  # already initialized by the launcher
+    """Initialize jax.distributed across hosts.
+
+    Must run before any other jax call (touching the backend first would
+    boot a local single-process runtime). No-op when already initialized
+    or when no coordinator is configured (single-process runs); any other
+    failure propagates — silently continuing would let every host train
+    as an independent job with duplicated work."""
+    try:
+        if jax.distributed.is_initialized():
+            return
+    except AttributeError:  # older jax: fall through to initialize()
+        pass
     try:
         jax.distributed.initialize(**kwargs)
-    except Exception:
-        pass  # single-process / local run
+    except RuntimeError as e:
+        msg = str(e).lower()
+        # benign: already initialized (by the launcher) or no coordinator
+        # env present (single-process local run)
+        if "already" not in msg and "coordinator" not in msg:
+            raise
 
 
 def host_shard(n_rows: int) -> tuple[int, int]:
@@ -68,24 +80,31 @@ def global_batch(local: dict[str, np.ndarray], mesh: Mesh, global_rows: int):
 
 @dataclasses.dataclass
 class HostShardedDataset:
-    """Per-host slice of fixed-shape training arrays + deterministic
-    globally-consistent batch schedule.
+    """Deterministic globally-consistent batch schedule over global
+    arrays (use a np.memmap to avoid loading rows other hosts own).
 
-    Every host constructs the same permutation (same seed), selects the
-    permuted rows it owns, and contributes them via `global_batch`. The
-    resulting global batch order is identical to the single-host run.
+    Every host constructs the same permutation (same seed), reads only
+    its slice of each global batch, and contributes it via
+    `global_batch`. The resulting global batch order is identical to the
+    single-host run.
     """
 
-    fields: dict[str, np.ndarray]  # full arrays on disk/host (memmap ok)
-    batch_size: int
+    # fields hold the GLOBAL arrays, indexable by global row id (a
+    # np.memmap works — each host only ever *reads* the rows it owns,
+    # so nothing forces the whole array into memory)
+    fields: dict[str, np.ndarray]
+    batch_size: int  # global batch size
     seed: int
 
     def __post_init__(self):
         self.n_rows = next(iter(self.fields.values())).shape[0]
-        per_host = self.batch_size // max(jax.process_count(), 1)
-        if self.batch_size % max(jax.process_count(), 1):
-            raise ValueError("global batch must divide process count")
-        self.local_batch = per_host
+        n_proc = max(jax.process_count(), 1)
+        if self.batch_size % n_proc:
+            raise ValueError(
+                f"process count ({n_proc}) must divide the global batch "
+                f"size ({self.batch_size})"
+            )
+        self.local_batch = self.batch_size // n_proc
 
     def epoch_batches(self, epoch: int):
         """Yield per-host local batch dicts for one epoch; feed each to

@@ -87,4 +87,4 @@ class BSARecModel(SequentialRecModel):
 
     def calculate_loss(self, input_ids, answers, neg_answers, same_target, user_ids, *, train: bool = True):
         seq_output = self.forward(input_ids, train=train)
-        return full_softmax_ce(seq_output[:, -1, :], self.item_table, answers)
+        return full_softmax_ce(seq_output[:, -1, :], self.item_table, answers, impl=self.config.loss_impl)

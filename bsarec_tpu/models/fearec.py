@@ -181,7 +181,7 @@ class FEARecModel(SequentialRecModel):
     def calculate_loss(self, input_ids, answers, neg_answers, same_target, user_ids, *, train: bool = True):
         cfg = self.config
         seq_output = self.forward(input_ids, train=train)[:, -1, :]
-        loss = full_softmax_ce(seq_output, self.item_table, answers)
+        loss = full_softmax_ce(seq_output, self.item_table, answers, impl=self.config.loss_impl)
 
         aug_output = sem_output = None
         if cfg.ssl in ("us", "un"):

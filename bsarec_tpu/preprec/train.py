@@ -96,6 +96,7 @@ class PrepRecTrainer:
         self._epoch_fn = self._build_epoch_fn()
         self._eval_arrays = {}
         self._eval_fn = None
+        self._score_fn = None
 
     # ---- init -----------------------------------------------------------
     def _init_params(self):
@@ -372,23 +373,28 @@ class PrepRecTrainer:
         `repo-b/utils.py:522,546,559`: writescores dumped per mode)."""
         if mode not in self._eval_arrays:
             self._eval(mode)  # builds arrays (ranks discarded)
-        batch = 64 if self.cfg.eval_method != 3 else 8
-        score_fn, _ = make_eval_fn(
-            self.model, self.cfg, self.pop_enc, self.eval_pop, batch,
-            self.ds.usernum, return_scores=True,
-        )
+        if self._score_fn is None:  # cache: compiles are expensive here
+            batch = 64 if self.cfg.eval_method != 3 else 8
+            self._score_fn, _ = make_eval_fn(
+                self.model, self.cfg, self.pop_enc, self.eval_pop, batch,
+                self.ds.usernum, return_scores=True,
+            )
         key, self.rng = jax.random.split(self.rng)
-        return np.asarray(score_fn(self.params, key, self._eval_arrays[mode]))
+        return np.asarray(self._score_fn(self.params, key, self._eval_arrays[mode]))
 
-    def user_embeddings(self, mode: str) -> np.ndarray:
+    def user_embeddings(self, mode: str, batch: int = 512) -> np.ndarray:
         """[U, H] final encoder states — the transferable user
         representation PREPRec exports for downstream use (reference
-        `newrec_user`, `repo-b/utils.py:575-621` / `model.py:206`)."""
+        `newrec_user`, `repo-b/utils.py:575-621` / `model.py:206`).
+        Batched: the per-block activations are [batch, L, H], so this
+        scales to production user counts (an unbatched pass would be
+        O(U x L x H) device memory)."""
         assert self.cfg.model == "newrec"
         if mode not in self._eval_arrays:
             self._eval(mode)
         arrays = self._eval_arrays[mode]
 
+        @jax.jit
         def embed(params, seqs, t1, t2, te):
             feats = self.pop_enc(seqs, t1, t2)
             out = self.model.apply(
@@ -397,11 +403,19 @@ class PrepRecTrainer:
             )
             return out[:, -1, :]
 
-        return np.asarray(
-            jax.jit(embed)(
-                self.params, arrays["seqs"], arrays["t1"], arrays["t2"], arrays["te"]
+        n = self.ds.usernum
+        chunks = []
+        for lo in range(0, n, batch):
+            hi = min(lo + batch, n)
+            # pad the tail chunk to the full batch so one jit program serves
+            # every chunk (recompiles are minutes on 1-core hosts)
+            idx = np.arange(lo, lo + batch) % n
+            out = embed(
+                self.params, arrays["seqs"][idx], arrays["t1"][idx],
+                arrays["t2"][idx], arrays["te"][idx],
             )
-        )
+            chunks.append(np.asarray(out)[: hi - lo])
+        return np.concatenate(chunks, axis=0)
 
     def adopt(self, other: "PrepRecTrainer"):
         """Take over another trainer's parameters + optimizer state.

@@ -17,17 +17,28 @@ detection: "crashes are fatal").
 
 from __future__ import annotations
 
+import os
 from pathlib import Path
 
 import flax.serialization
 import jax
 
 
+def _atomic_write(path: str | Path, data: bytes) -> None:
+    """Write-then-rename so a crash mid-write never corrupts the previous
+    good checkpoint (the whole point of --resume is surviving crashes)."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    with open(tmp, "wb") as fh:
+        fh.write(data)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, path)
+
+
 def save_params(params, path: str | Path) -> None:
-    host_params = jax.device_get(params)
-    Path(path).parent.mkdir(parents=True, exist_ok=True)
-    with open(path, "wb") as fh:
-        fh.write(flax.serialization.to_bytes(host_params))
+    _atomic_write(path, flax.serialization.to_bytes(jax.device_get(params)))
 
 
 def load_params(template_params, path: str | Path, filter_fn=None):
@@ -46,9 +57,7 @@ def save_train_state(path: str | Path, params, opt_state, epoch: int, rng) -> No
         "epoch": epoch,
         "rng": jax.device_get(rng),
     }
-    Path(path).parent.mkdir(parents=True, exist_ok=True)
-    with open(path, "wb") as fh:
-        fh.write(flax.serialization.to_bytes(state))
+    _atomic_write(path, flax.serialization.to_bytes(state))
 
 
 def load_train_state(path: str | Path, params, opt_state, rng):

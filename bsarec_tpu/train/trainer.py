@@ -44,6 +44,28 @@ class Trainer:
         self.checkpoint_path = checkpoint_path
         self.with_sem = model_cfg.model_type.lower() in CONTRASTIVE_MODELS
 
+        # optional multi-device mesh: data-parallel dense tower, vocab-
+        # sharded item table (+ Adam moments following their params)
+        mesh_cfg = meshlib.parse_mesh_spec(train_cfg.mesh)
+        self.mesh = meshlib.make_mesh(mesh_cfg) if mesh_cfg else None
+
+        # the streaming Pallas kernels cannot be SPMD-partitioned: when the
+        # item table is vocab-sharded over the mesh, force the dense XLA
+        # paths (which the partitioner handles) for loss and eval
+        self._vocab_sharded = bool(
+            self.mesh is not None
+            and self.mesh.shape[meshlib.MODEL_AXIS] > 1
+            and model_cfg.item_size % self.mesh.shape[meshlib.MODEL_AXIS] == 0
+        )
+        if self._vocab_sharded:
+            import dataclasses as _dc
+
+            model_cfg = model_cfg.replace(loss_impl="dense")
+            self.model_cfg = model_cfg
+            if train_cfg.eval_impl == "auto":
+                train_cfg = _dc.replace(train_cfg, eval_impl="dense")
+                self.train_cfg = train_cfg
+
         self.model = build_model(model_cfg)
         self.rng = jax.random.PRNGKey(train_cfg.seed)
         self.np_rng = np.random.default_rng(train_cfg.seed)
@@ -55,11 +77,6 @@ class Trainer:
         )
         self.params = variables["params"]
         self.tx = make_optimizer(train_cfg)
-
-        # optional multi-device mesh: data-parallel dense tower, vocab-
-        # sharded item table (+ Adam moments following their params)
-        mesh_cfg = meshlib.parse_mesh_spec(train_cfg.mesh)
-        self.mesh = meshlib.make_mesh(mesh_cfg) if mesh_cfg else None
         if self.mesh is not None:
             vocab = meshlib.vocab_sharding(self.mesh)
             repl = meshlib.replicated(self.mesh)
@@ -68,10 +85,12 @@ class Trainer:
                 keys = tuple(str(getattr(k, "key", k)) for k in path)
                 shard_vocab = (
                     "item_embeddings" in keys
-                    and self.mesh.shape[meshlib.MODEL_AXIS] > 1
-                    # row-sharding needs the vocab divisible by the axis;
-                    # small catalogs just replicate (sharding them buys
-                    # nothing — the table fits everywhere)
+                    # _vocab_sharded also gates the loss/eval impl choice;
+                    # keep both decisions identical. Row-sharding needs the
+                    # table rows divisible by the axis (BERT4Rec's +1 mask
+                    # row can differ from item_size); small catalogs just
+                    # replicate — the table fits everywhere
+                    and self._vocab_sharded
                     and leaf.shape[0] % self.mesh.shape[meshlib.MODEL_AXIS] == 0
                 )
                 return vocab if shard_vocab else repl

@@ -24,35 +24,37 @@ extern "C" {
 // corpus parsing: "user item item ..." lines -> CSR (offsets, items)
 // ---------------------------------------------------------------------------
 
-// Pass 1: count users and total items. Returns 0 on success.
+// Pass 1: count users and total items. Returns 0 on success, 2 on a
+// malformed (non-digit) token — callers then fall back to the Python
+// loader, which raises a proper ValueError. A line counts as a user iff
+// it contains at least one token (same rule as corpus_fill).
 int corpus_count(const char* path, int64_t* n_users, int64_t* n_items) {
   FILE* fh = fopen(path, "rb");
   if (!fh) return 1;
   int64_t users = 0, items = 0;
-  int c, prev = '\n';
-  bool in_tok = false, first_tok = true;
-  while ((c = fgetc(fh)) != EOF) {
-    if (c == '\n') {
-      if (in_tok && !first_tok) items++;
-      if (prev != '\n') users++;
-      in_tok = false;
-      first_tok = true;
-    } else if (c == ' ' || c == '\t' || c == '\r') {
-      if (in_tok) {
-        if (!first_tok) items++;
-        else first_tok = false;
-        in_tok = false;
+  int c;
+  bool in_tok = false, first_tok = true, line_has_content = false;
+  while (true) {
+    c = fgetc(fh);
+    bool is_sep = (c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == EOF);
+    if (!is_sep) {
+      if (c < '0' || c > '9') {
+        fclose(fh);
+        return 2;  // malformed token
       }
-    } else {
       in_tok = true;
+      line_has_content = true;
+    } else if (in_tok) {
+      if (!first_tok) items++;
+      else first_tok = false;
+      in_tok = false;
     }
-    prev = c;
-  }
-  if (in_tok) {
-    if (!first_tok) items++;
-    users++;
-  } else if (prev != '\n' && prev != EOF && users == 0) {
-    // empty file
+    if (c == '\n' || c == EOF) {
+      if (line_has_content) users++;
+      line_has_content = false;
+      first_tok = true;
+      if (c == EOF) break;
+    }
   }
   fclose(fh);
   *n_users = users;
@@ -60,7 +62,8 @@ int corpus_count(const char* path, int64_t* n_users, int64_t* n_items) {
   return 0;
 }
 
-// Pass 2: fill offsets[n_users + 1] and items[n_items]; returns max item id.
+// Pass 2: fill offsets[n_users + 1] and items[n_items]; returns max item
+// id via out-param (2 on malformed input, matching corpus_count).
 int corpus_fill(const char* path, int32_t* offsets, int32_t* items,
                 int32_t* max_item) {
   FILE* fh = fopen(path, "rb");
@@ -75,6 +78,10 @@ int corpus_fill(const char* path, int32_t* offsets, int32_t* items,
     c = fgetc(fh);
     bool is_sep = (c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == EOF);
     if (!is_sep) {
+      if (c < '0' || c > '9') {
+        fclose(fh);
+        return 2;  // malformed token
+      }
       if (cur < 0) cur = 0;
       cur = cur * 10 + (c - '0');
       line_has_content = true;

@@ -189,3 +189,26 @@ def test_throughput_accumulator_skips_compile_epoch():
     t.start(); t.stop(100)
     t.start(); rate = t.stop(100)
     assert rate > 0 and t.steady_rate > 0
+
+
+def test_vocab_sharded_mesh_forces_dense_impls(tmp_path):
+    """pallas_call has no SPMD partitioning rule: a vocab-sharded table
+    must never route into the streaming kernels (code-review finding)."""
+    import dataclasses
+
+    corpus = synthetic_corpus(n_items=31)  # item_size 32, divisible by model:2
+    data = SeqRecData(corpus, max_len=10)
+    model_cfg = ModelConfig(
+        model_type="bsarec", item_size=corpus.item_size, num_users=corpus.num_users + 1,
+        max_seq_length=10, hidden_size=16, num_hidden_layers=1, num_attention_heads=1,
+        c=3, alpha=0.7,
+    )
+    cfg = TrainConfig(lr=0.01, batch_size=32, epochs=1, seed=1, mesh="data:4,model:2")
+    t = Trainer(model_cfg, cfg, data, _quiet_logger(), str(tmp_path / "m.ckpt"))
+    assert t._vocab_sharded
+    assert t.model_cfg.loss_impl == "dense"
+    assert t.eval_impl == "dense"
+    # explicit streaming request on a sharded table is NOT silently overridden
+    cfg2 = dataclasses.replace(cfg, eval_impl="streaming")
+    t2 = Trainer(model_cfg, cfg2, data, _quiet_logger(), str(tmp_path / "m2.ckpt"))
+    assert t2.eval_impl == "streaming"  # user said so; documented unsupported
