@@ -127,11 +127,19 @@ def grouped_metrics(ranks: np.ndarray, userpop: np.ndarray, cfg: PrepRecConfig) 
     return result
 
 
-def mostpop_ranks(inputs: EvalInputs, rawpop: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+def mostpop_ranks(inputs: EvalInputs, rawpop: np.ndarray, rng: np.random.Generator, exclude_rated: bool = False) -> np.ndarray:
     """Popularity baseline (`utils.py:858-883`): score candidates by
-    their cumulative interaction count."""
+    their cumulative interaction count. Under full-catalog eval the
+    reference excludes each user's already-rated items from the
+    candidate set (`utils.py:867-871`); equivalent here: their scores
+    drop to -inf. The ground truth (column 0) always stays."""
     pop = np.concatenate([[0.0], rawpop])  # item 0 pad
     scores = pop[inputs.cands]
+    if exclude_rated:  # full-catalog eval (eval_method 3)
+        for u in range(scores.shape[0]):
+            rated = inputs.seqs[u][inputs.seqs[u] > 0]
+            mask = np.isin(inputs.cands[u, 1:], rated)
+            scores[u, 1:][mask] = -np.inf
     tie = rng.random(scores.shape)
     better = scores > scores[:, :1]
     tied = (scores == scores[:, :1]) & (tie > tie[:, :1])

@@ -137,7 +137,7 @@ def main(argv=None):
     if args.model == "mostpop":
         rawpop = np.loadtxt(f"{prefix}_{args.rawpop}.txt").reshape(-1)
         inputs = build_eval_inputs(ds, cfg, args.mode, usernegs)
-        ranks = mostpop_ranks(inputs, rawpop, np.random.default_rng(args.seed))
+        ranks = mostpop_ranks(inputs, rawpop, np.random.default_rng(args.seed), exclude_rated=args.eval_method == 3)
         metrics = metrics_from_ranks(ranks, cfg.topk)
         for (ndcg, hr), k in zip(metrics, cfg.topk):
             logger.info(f"{args.mode} NDCG@{k}: {ndcg}, HR@{k}: {hr}")

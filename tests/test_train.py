@@ -182,12 +182,14 @@ def test_mesh_parallel_training_matches_single_device(tmp_path):
 
 
 def test_throughput_accumulator_skips_compile_epoch():
+    import time as _time
+
     from bsarec_tpu.utils.profiling import Throughput
 
     t = Throughput()
-    t.start(); t.stop(100)        # compile epoch: excluded
-    t.start(); t.stop(100)
-    t.start(); rate = t.stop(100)
+    t.start(); _time.sleep(0.002); t.stop(100)  # compile epoch: excluded
+    t.start(); _time.sleep(0.002); t.stop(100)
+    t.start(); _time.sleep(0.002); rate = t.stop(100)
     assert rate > 0 and t.steady_rate > 0
 
 
