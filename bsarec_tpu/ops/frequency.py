@@ -11,8 +11,10 @@ subspace), and its VJP is P_cᵀ = P_c — identical to the gradient the
 reference's kept-bins FFT path produces.
 
 FMLP-Rec's learnable complex filter (`src/model/fmlprec.py:97-108`) is
-kept in the FFT domain (XLA lowers FFT on TPU) with a circulant-matmul
-alternative for fusion-friendly execution.
+likewise computed with real DFT matmuls (`rfft_matrices` /
+`complex_filter_apply` below): this environment's TPU AOT compiler has
+no FFT lowering, and at L<=200 four [L, F] MXU matmuls beat an FFT
+pipeline anyway.
 """
 
 from __future__ import annotations

@@ -127,6 +127,16 @@ def grouped_metrics(ranks: np.ndarray, userpop: np.ndarray, cfg: PrepRecConfig) 
     return result
 
 
+def _tiebroken_ranks(scores: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """0-based rank of column 0 with the reference's randomized tie-break
+    (`repo-b/utils.py:553-558`): ties beat the ground truth with p=1/2."""
+    tie = rng.random(scores.shape)
+    better = scores > scores[:, :1]
+    tied = (scores == scores[:, :1]) & (tie > tie[:, :1])
+    tied[:, 0] = False
+    return np.sum(better | tied, axis=1)
+
+
 def mostpop_ranks(inputs: EvalInputs, rawpop: np.ndarray, rng: np.random.Generator, exclude_rated: bool = False) -> np.ndarray:
     """Popularity baseline (`utils.py:858-883`): score candidates by
     their cumulative interaction count. Under full-catalog eval the
@@ -136,26 +146,29 @@ def mostpop_ranks(inputs: EvalInputs, rawpop: np.ndarray, rng: np.random.Generat
     pop = np.concatenate([[0.0], rawpop])  # item 0 pad
     scores = pop[inputs.cands]
     if exclude_rated:  # full-catalog eval (eval_method 3)
-        for u in range(scores.shape[0]):
-            rated = inputs.seqs[u][inputs.seqs[u] > 0]
-            mask = np.isin(inputs.cands[u, 1:], rated)
-            scores[u, 1:][mask] = -np.inf
-    tie = rng.random(scores.shape)
-    better = scores > scores[:, :1]
-    tied = (scores == scores[:, :1]) & (tie > tie[:, :1])
-    tied[:, 0] = False
-    return np.sum(better | tied, axis=1)
+        # vectorized per-user exclusion: under eval_method 3 candidate
+        # column j (j>=1) IS item j, so a [U, V+1] scatter of the padded
+        # history marks every rated candidate in one shot — no O(U·V)
+        # Python loop over np.isin.
+        itemnum = scores.shape[1] - 1
+        assert inputs.seqs.max() <= itemnum, "exclude_rated requires full-catalog candidates"
+        rated = np.zeros((scores.shape[0], itemnum + 1), dtype=bool)
+        np.put_along_axis(rated, inputs.seqs.astype(np.int64), True, axis=1)
+        scores[:, 1:][rated[:, 1:]] = -np.inf
+    return _tiebroken_ranks(scores, rng)
 
 
-def ensemble_ranks(scores: np.ndarray, loaded: np.ndarray, alphas) -> list[np.ndarray]:
+def ensemble_ranks(scores: np.ndarray, loaded: np.ndarray, alphas, rng: np.random.Generator | None = None) -> list[np.ndarray]:
     """Blend saved scores with fresh ones and re-rank (reference
     `repo-b/utils.py:548-551`: total = alpha*new + (1-alpha)*saved; the
-    ground truth sits in column 0). Returns one rank array per alpha."""
-    out = []
-    for alpha in alphas:
-        total = alpha * scores + (1.0 - alpha) * loaded
-        out.append(np.sum(total > total[:, :1], axis=1))
-    return out
+    ground truth sits in column 0). Returns one rank array per alpha.
+    Ties use the same randomized break as every other ranking path."""
+    if rng is None:
+        rng = np.random.default_rng(0)
+    return [
+        _tiebroken_ranks(alpha * scores + (1.0 - alpha) * loaded, rng)
+        for alpha in alphas
+    ]
 
 
 def make_eval_fn(model, cfg: PrepRecConfig, pop_enc, eval_pop, batch: int, num_users: int, return_scores: bool = False):

@@ -49,28 +49,54 @@ def load_params(template_params, path: str | Path, filter_fn=None):
     return restored
 
 
-def save_train_state(path: str | Path, params, opt_state, epoch: int, rng) -> None:
-    """Full resumable state: params, optimizer state, epoch, PRNG key."""
+def save_train_state(
+    path: str | Path, params, opt_state, epoch: int, rng,
+    best_score=None, patience_counter: int = 0,
+) -> None:
+    """Full resumable state: params, optimizer state, epoch, PRNG key,
+    plus the early-stopping state (best validation score vector and
+    patience counter) so a resumed run cannot overwrite a better
+    pre-crash checkpoint or restart the patience clock."""
+    import numpy as np
+
+    if best_score is None:
+        best = np.full((1,), -np.inf, np.float32)  # sentinel: no best yet
+    else:
+        best = np.asarray(best_score, np.float32).reshape(-1)
     state = {
         "params": jax.device_get(params),
         "opt_state": jax.device_get(opt_state),
         "epoch": epoch,
         "rng": jax.device_get(rng),
+        "best_score": best,
+        "patience_counter": int(patience_counter),
     }
     _atomic_write(path, flax.serialization.to_bytes(state))
 
 
 def load_train_state(path: str | Path, params, opt_state, rng):
-    """Restore a `save_train_state` checkpoint against matching templates."""
+    """Restore a `save_train_state` checkpoint against matching templates.
+
+    Returns (params, opt_state, epoch, rng, best_score, patience_counter)
+    where best_score is None when the snapshot predates any validation."""
+    import numpy as np
+
     template = {
         "params": jax.device_get(params),
         "opt_state": jax.device_get(opt_state),
         "epoch": 0,
         "rng": jax.device_get(rng),
+        "best_score": np.zeros((1,), np.float32),
+        "patience_counter": 0,
     }
     with open(path, "rb") as fh:
         state = flax.serialization.from_bytes(template, fh.read())
-    return state["params"], state["opt_state"], int(state["epoch"]), state["rng"]
+    best = np.asarray(state["best_score"])
+    best_score = None if np.all(np.isneginf(best)) else best
+    return (
+        state["params"], state["opt_state"], int(state["epoch"]),
+        state["rng"], best_score, int(state["patience_counter"]),
+    )
 
 
 def transfer_filter(exclude_prefixes: tuple[str, ...]):

@@ -78,25 +78,7 @@ class Trainer:
         self.params = variables["params"]
         self.tx = make_optimizer(train_cfg)
         if self.mesh is not None:
-            vocab = meshlib.vocab_sharding(self.mesh)
-            repl = meshlib.replicated(self.mesh)
-
-            def placement(path, leaf):
-                keys = tuple(str(getattr(k, "key", k)) for k in path)
-                shard_vocab = (
-                    "item_embeddings" in keys
-                    # _vocab_sharded also gates the loss/eval impl choice;
-                    # keep both decisions identical. Row-sharding needs the
-                    # table rows divisible by the axis (BERT4Rec's +1 mask
-                    # row can differ from item_size); small catalogs just
-                    # replicate — the table fits everywhere
-                    and self._vocab_sharded
-                    and leaf.shape[0] % self.mesh.shape[meshlib.MODEL_AXIS] == 0
-                )
-                return vocab if shard_vocab else repl
-
-            shardings = jax.tree_util.tree_map_with_path(placement, self.params)
-            self.params = jax.tree.map(jax.device_put, self.params, shardings)
+            self.params = self._apply_placement(self.params)
             self.opt_state = jax.jit(self.tx.init)(self.params)
             logger.info(f"mesh: {dict(self.mesh.shape)}")
         else:
@@ -144,6 +126,33 @@ class Trainer:
                 "seen": jnp.asarray(seen),
             }
         self._zero_sem = jnp.zeros((data.train.num_samples, 0), jnp.int32)
+        # early-stopping state restored by resume(), consumed by fit()
+        self._resume_stopper: tuple | None = None
+
+    def _apply_placement(self, params):
+        """Device-put `params` with the run's NamedShardings: vocab-shard
+        the item table over the model axis, replicate everything else.
+        Used at init AND after resume (restored host arrays would
+        otherwise silently lose their mesh placement)."""
+        vocab = meshlib.vocab_sharding(self.mesh)
+        repl = meshlib.replicated(self.mesh)
+
+        def placement(path, leaf):
+            keys = tuple(str(getattr(k, "key", k)) for k in path)
+            shard_vocab = (
+                "item_embeddings" in keys
+                # _vocab_sharded also gates the loss/eval impl choice;
+                # keep both decisions identical. Row-sharding needs the
+                # table rows divisible by the axis (BERT4Rec's +1 mask
+                # row can differ from item_size); small catalogs just
+                # replicate — the table fits everywhere
+                and self._vocab_sharded
+                and leaf.shape[0] % self.mesh.shape[meshlib.MODEL_AXIS] == 0
+            )
+            return vocab if shard_vocab else repl
+
+        shardings = jax.tree_util.tree_map_with_path(placement, params)
+        return jax.tree.map(jax.device_put, params, shardings)
 
     # ---- reference-API surface -----------------------------------------
     def train(self, epoch: int) -> float:
@@ -199,15 +208,28 @@ class Trainer:
     def state_path(self) -> str:
         return self.checkpoint_path + ".state"
 
-    def save_state(self, epoch: int):
-        ckpt.save_train_state(self.state_path, self.params, self.opt_state, epoch, self.rng)
+    def save_state(self, epoch: int, stopper: EarlyStopping | None = None):
+        ckpt.save_train_state(
+            self.state_path, self.params, self.opt_state, epoch, self.rng,
+            best_score=None if stopper is None else stopper.best_score,
+            patience_counter=0 if stopper is None else stopper.counter,
+        )
 
     def resume(self) -> int:
-        """Restore params/optimizer/PRNG from the latest state snapshot;
-        returns the next epoch to run."""
-        self.params, self.opt_state, epoch, self.rng = ckpt.load_train_state(
+        """Restore params/optimizer/PRNG/early-stop state from the latest
+        state snapshot; returns the next epoch to run."""
+        (self.params, self.opt_state, epoch, self.rng,
+         best_score, counter) = ckpt.load_train_state(
             self.state_path, self.params, self.opt_state, self.rng
         )
+        if self.mesh is not None:
+            # restored host arrays must get their mesh placement back, or
+            # the vocab-sharded table silently replicates post-resume.
+            # Adam's mu/nu mirror the param paths, so the same placement
+            # rule shards the moments of the item table too.
+            self.params = self._apply_placement(self.params)
+            self.opt_state = self._apply_placement(self.opt_state)
+        self._resume_stopper = (best_score, counter)
         self.logger.info(f"resumed full train state from {self.state_path} (epoch {epoch})")
         return epoch + 1
 
@@ -218,6 +240,9 @@ class Trainer:
             logger=self.logger,
             patience=self.train_cfg.patience,
         )
+        if self._resume_stopper is not None:
+            stopper.best_score, stopper.counter = self._resume_stopper
+            self._resume_stopper = None
         tput = Throughput()
         for epoch in range(start_epoch, self.train_cfg.epochs):
             tput.start()
@@ -232,7 +257,7 @@ class Trainer:
                 f"epoch {epoch}: train {rate:.0f} ex/s, eval {t2 - t1:.2f}s"
             )
             stopper(np.array(scores[-1:]), None)
-            self.save_state(epoch)
+            self.save_state(epoch, stopper)
             if stopper.early_stop:
                 self.logger.info("Early stopping")
                 break

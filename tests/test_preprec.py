@@ -254,6 +254,44 @@ def test_score_export_and_ensembling(synth_dataset, tmp_path):
     np.testing.assert_array_equal(ranks_a0, np.sum(loaded > loaded[:, :1], axis=1))
 
 
+def test_mostpop_vectorized_exclusion_matches_loop():
+    """The [U, V+1] scatter-based rated-item exclusion equals the
+    reference-shaped per-user np.isin loop (`repo-b/utils.py:867-871`),
+    including identical tie-break draws."""
+    from bsarec_tpu.preprec.evaluate import EvalInputs, mostpop_ranks
+
+    rng = np.random.default_rng(7)
+    itemnum, users = 40, 16
+    target = rng.integers(1, itemnum + 1, users).astype(np.int32)
+    cands = np.concatenate(
+        [target[:, None], np.tile(np.arange(1, itemnum + 1, dtype=np.int32), (users, 1))],
+        axis=1,
+    )
+    seqs = rng.integers(0, itemnum + 1, (users, 10)).astype(np.int32)
+    z = np.zeros_like(seqs)
+    zc = np.zeros_like(cands)
+    inp = EvalInputs(seqs, z, z, z, cands, zc, zc, np.arange(1, users + 1, dtype=np.int32))
+    rawpop = rng.random(itemnum)
+
+    def loop_version(seed):
+        pop = np.concatenate([[0.0], rawpop])
+        scores = pop[inp.cands]
+        for u in range(users):
+            rated = inp.seqs[u][inp.seqs[u] > 0]
+            mask = np.isin(inp.cands[u, 1:], rated)
+            scores[u, 1:][mask] = -np.inf
+        r = np.random.default_rng(seed)
+        tie = r.random(scores.shape)
+        better = scores > scores[:, :1]
+        tied = (scores == scores[:, :1]) & (tie > tie[:, :1])
+        tied[:, 0] = False
+        return np.sum(better | tied, axis=1)
+
+    for seed in (0, 1, 2):
+        got = mostpop_ranks(inp, rawpop, np.random.default_rng(seed), exclude_rated=True)
+        np.testing.assert_array_equal(got, loop_version(seed))
+
+
 def test_user_embedding_export(synth_dataset, tmp_path):
     """`newrec_user` capability (`repo-b/utils.py:575-621`): per-user
     final encoder states, usable for cross-domain transfer analysis."""

@@ -149,6 +149,39 @@ def test_resume_from_state_snapshot(tmp_path):
     assert abs(la - lb) < 1e-6
 
 
+def test_resume_restores_early_stopping_state(tmp_path):
+    """A resumed run must not let its first (possibly worse) validation
+    overwrite the pre-crash best checkpoint, nor reset the patience
+    counter (round-1 advisor finding)."""
+    from bsarec_tpu.utils.early_stopping import EarlyStopping
+
+    corpus = synthetic_corpus()
+    data = SeqRecData(corpus, max_len=10)
+    model_cfg = ModelConfig(
+        model_type="sasrec", item_size=corpus.item_size, num_users=corpus.num_users + 1,
+        max_seq_length=10, hidden_size=16, num_hidden_layers=1, num_attention_heads=1,
+        hidden_dropout_prob=0.1, attention_probs_dropout_prob=0.1,
+    )
+    cfg = TrainConfig(lr=0.01, batch_size=32, epochs=2, seed=3, log_freq=100)
+    a = Trainer(model_cfg, cfg, data, _quiet_logger(), str(tmp_path / "a.ckpt"))
+    saves = []
+    stopper = EarlyStopping(save_fn=lambda _: saves.append(1), patience=10)
+    stopper(np.array([0.5]), None)  # establishes best=0.5
+    stopper(np.array([0.3]), None)  # counter -> 1
+    a.save_state(0, stopper)
+
+    b = Trainer(model_cfg, cfg, data, _quiet_logger(), str(tmp_path / "a.ckpt"))
+    b.resume()
+    best, counter = b._resume_stopper
+    np.testing.assert_allclose(best, [0.5])
+    assert counter == 1
+    # a seeded stopper does NOT save on a worse first post-resume score
+    seeded = EarlyStopping(save_fn=lambda _: saves.append(2), patience=10)
+    seeded.best_score, seeded.counter = best, counter
+    seeded(np.array([0.4]), None)
+    assert saves == [1] and seeded.counter == 2
+
+
 def test_mesh_parallel_training_matches_single_device(tmp_path):
     """data:4,model:2 mesh training (8 virtual CPU devices) follows the
     single-device loss trajectory and reproduces its eval metrics — the
