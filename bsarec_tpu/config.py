@@ -25,6 +25,11 @@ class ModelConfig:
     hidden_dropout_prob: float = 0.5
     attention_probs_dropout_prob: float = 0.5
     initializer_range: float = 0.02
+    # Mixed-precision policy (SURVEY.md §7 layer 1): matmuls/convs run in
+    # this dtype ("bfloat16" on TPU keeps the MXU at full rate and halves
+    # HBM traffic); params, LayerNorm, softmax and loss accumulation stay
+    # float32. "float32" reproduces the reference bit-for-bit.
+    compute_dtype: str = "float32"
     # --- bsarec ---
     c: int = 3
     alpha: float = 0.9

@@ -54,6 +54,11 @@ def parse_args(argv=None):
         "--eval_impl", default="auto", type=str,
         help='full-catalog eval path: auto | dense | streaming',
     )
+    parser.add_argument(
+        "--dtype", default="fp32", type=str,
+        help="compute dtype policy: fp32 (reference-exact) | bf16 (MXU-rate "
+        "matmuls, fp32 LayerNorm/softmax/loss accumulation)",
+    )
     # drop-in compatibility no-ops (reference `src/utils.py:58-78`):
     # device pinning is meaningless on TPU, worker counts belong to the
     # removed DataLoader, and num_items/num_users/variance are derived or
@@ -117,6 +122,9 @@ def configs_from_args(args, item_size: int, num_users: int):
     overrides = {k: v for k, v in vars(args).items() if k in model_fields}
     if "fredom" in overrides and isinstance(overrides["fredom"], str):
         overrides["fredom"] = overrides["fredom"] == "True"
+    dtype_names = {"fp32": "float32", "bf16": "bfloat16",
+                   "float32": "float32", "bfloat16": "bfloat16"}
+    overrides["compute_dtype"] = dtype_names[getattr(args, "dtype", "fp32")]
     model_cfg = ModelConfig(
         **overrides | {"item_size": item_size, "num_users": num_users}
     )

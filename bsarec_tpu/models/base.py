@@ -51,6 +51,7 @@ class SequentialRecModel(nn.Module):
             attention_probs_dropout_prob=cfg.attention_probs_dropout_prob,
             initializer_range=cfg.initializer_range,
             max_seq_length=cfg.max_seq_length,
+            dtype=cfg.compute_dtype,
         )
 
     def vocab_rows(self) -> int:

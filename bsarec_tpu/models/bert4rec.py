@@ -51,7 +51,7 @@ class BERT4RecModel(SequentialRecModel):
         masked_ids = input_ids.at[rows, masked_index].set(self.mask_token)
 
         seq_output = self.forward(masked_ids, train=train)
-        return full_softmax_ce(seq_output[:, -1, :], self.item_table, answers, impl=self.config.loss_impl)
+        return full_softmax_ce(seq_output[:, -1, :], self.item_table, answers, impl=self.config.loss_impl, dtype=self.config.compute_dtype)
 
     def predict(self, input_ids, user_ids=None):
         pad = jnp.full((input_ids.shape[0], 1), self.mask_token, dtype=input_ids.dtype)

@@ -38,9 +38,10 @@ class FrequencyLayer(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool):
         cfg = self.config
+        dt = cfg.compute_dtype
         sqrt_beta = self.param("sqrt_beta", normal_init(1.0), (1, 1, cfg.hidden_size))
         proj = jnp.asarray(lowpass_projection_matrix(x.shape[1], self.c))
-        h = frequency_filter(x, proj, sqrt_beta)
+        h = frequency_filter(x.astype(dt), proj.astype(dt), sqrt_beta)
         h = nn.Dropout(cfg.hidden_dropout_prob, deterministic=not train)(h)
         return TFLayerNorm(name="LayerNorm")(h + x)
 
@@ -87,4 +88,4 @@ class BSARecModel(SequentialRecModel):
 
     def calculate_loss(self, input_ids, answers, neg_answers, same_target, user_ids, *, train: bool = True):
         seq_output = self.forward(input_ids, train=train)
-        return full_softmax_ce(seq_output[:, -1, :], self.item_table, answers, impl=self.config.loss_impl)
+        return full_softmax_ce(seq_output[:, -1, :], self.item_table, answers, impl=self.config.loss_impl, dtype=self.config.compute_dtype)

@@ -29,7 +29,7 @@ class DuoRecModel(SequentialRecModel):
     def calculate_loss(self, input_ids, answers, neg_answers, same_target, user_ids, *, train: bool = True):
         cfg = self.config
         seq_output = self.forward(input_ids, train=train)
-        loss = full_softmax_ce(seq_output[:, -1, :], self.item_table, answers, impl=self.config.loss_impl)
+        loss = full_softmax_ce(seq_output[:, -1, :], self.item_table, answers, impl=self.config.loss_impl, dtype=self.config.compute_dtype)
 
         if cfg.ssl in ("us", "un"):
             aug = self.forward(input_ids, train=train)

@@ -102,7 +102,7 @@ class FEARecLayer(nn.Module):
         init = normal_init(cfg.initializer_range)
 
         def proj(name):
-            y = nn.Dense(cfg.hidden_size, kernel_init=init, name=name)(x)
+            y = nn.Dense(cfg.hidden_size, kernel_init=init, dtype=cfg.compute_dtype, name=name)(x)
             # [B, h, d, L] — lag axis last for the spectral matmuls
             return y.reshape(batch, seq_len, heads, head_dim).transpose(0, 2, 3, 1)
 
@@ -124,7 +124,9 @@ class FEARecLayer(nn.Module):
             "lf,bhdf->bhdl", a_im, prod_im
         )
 
-        top_k = int(self.factor * math.log(seq_len))
+        # clamp: int(factor*log(L)) can exceed L for tiny test sequences
+        # (the reference would crash there too — `fearec.py:259`)
+        top_k = min(int(self.factor * math.log(seq_len)), seq_len)
         agg = time_delay_agg_train if train else time_delay_agg_infer
         v_agg = agg(v, corr, top_k)  # [B, h, d, L]
         context = v_agg.transpose(0, 3, 1, 2).reshape(batch, seq_len, cfg.hidden_size)
@@ -142,7 +144,7 @@ class FEARecLayer(nn.Module):
 
         context = (1.0 - self.spatial_ratio) * context + self.spatial_ratio * ctx_sp
 
-        out = nn.Dense(cfg.hidden_size, kernel_init=init, name="dense")(context)
+        out = nn.Dense(cfg.hidden_size, kernel_init=init, dtype=cfg.compute_dtype, name="dense")(context)
         out = nn.Dropout(cfg.hidden_dropout_prob, deterministic=not train)(out)
         return TFLayerNorm(name="LayerNorm")(out + x)
 
@@ -181,7 +183,7 @@ class FEARecModel(SequentialRecModel):
     def calculate_loss(self, input_ids, answers, neg_answers, same_target, user_ids, *, train: bool = True):
         cfg = self.config
         seq_output = self.forward(input_ids, train=train)[:, -1, :]
-        loss = full_softmax_ce(seq_output, self.item_table, answers, impl=self.config.loss_impl)
+        loss = full_softmax_ce(seq_output, self.item_table, answers, impl=self.config.loss_impl, dtype=self.config.compute_dtype)
 
         aug_output = sem_output = None
         if cfg.ssl in ("us", "un"):

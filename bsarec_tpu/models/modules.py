@@ -37,7 +37,10 @@ ACT2FN: dict[str, Callable] = {
 
 
 class TFLayerNorm(nn.Module):
-    """LayerNorm with epsilon inside the sqrt (TF style), eps=1e-12."""
+    """LayerNorm with epsilon inside the sqrt (TF style), eps=1e-12.
+
+    Always computes (and returns) float32 regardless of the compute
+    dtype policy — normalization statistics are precision-critical."""
 
     eps: float = 1e-12
 
@@ -46,6 +49,7 @@ class TFLayerNorm(nn.Module):
         dim = x.shape[-1]
         weight = self.param("weight", nn.initializers.ones, (dim,))
         bias = self.param("bias", nn.initializers.zeros, (dim,))
+        x = x.astype(jnp.float32)
         u = jnp.mean(x, axis=-1, keepdims=True)
         s = jnp.mean(jnp.square(x - u), axis=-1, keepdims=True)
         x = (x - u) * jax.lax.rsqrt(s + self.eps)
@@ -64,6 +68,13 @@ class EncoderConfig:
     attention_probs_dropout_prob: float = 0.5
     initializer_range: float = 0.02
     max_seq_length: int = 50
+    # compute dtype for the dense/attention matmuls; params, LayerNorm,
+    # softmax and residual adds stay float32 (mixed-precision policy)
+    dtype: str = "float32"
+
+    @property
+    def compute_dtype(self):
+        return jnp.dtype(self.dtype)
 
 
 class FeedForward(nn.Module):
@@ -72,10 +83,11 @@ class FeedForward(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool):
         cfg = self.config
+        dt = cfg.compute_dtype
         init = normal_init(cfg.initializer_range)
-        h = nn.Dense(4 * cfg.hidden_size, kernel_init=init, name="dense_1")(x)
+        h = nn.Dense(4 * cfg.hidden_size, kernel_init=init, dtype=dt, name="dense_1")(x)
         h = ACT2FN[cfg.hidden_act](h)
-        h = nn.Dense(cfg.hidden_size, kernel_init=init, name="dense_2")(h)
+        h = nn.Dense(cfg.hidden_size, kernel_init=init, dtype=dt, name="dense_2")(h)
         h = nn.Dropout(cfg.hidden_dropout_prob, deterministic=not train)(h)
         return TFLayerNorm(name="LayerNorm")(h + x)
 
@@ -86,28 +98,32 @@ class MultiHeadAttention(nn.Module):
     @nn.compact
     def __call__(self, x, attention_mask, *, train: bool):
         cfg = self.config
+        dt = cfg.compute_dtype
         init = normal_init(cfg.initializer_range)
         heads = cfg.num_attention_heads
         head_dim = cfg.hidden_size // heads
         batch, seq_len, _ = x.shape
 
         def proj(name):
-            y = nn.Dense(cfg.hidden_size, kernel_init=init, name=name)(x)
+            y = nn.Dense(cfg.hidden_size, kernel_init=init, dtype=dt, name=name)(x)
             return y.reshape(batch, seq_len, heads, head_dim)
 
         q = proj("query").transpose(0, 2, 1, 3)  # [B, h, L, d]
         k = proj("key").transpose(0, 2, 1, 3)
         v = proj("value").transpose(0, 2, 1, 3)
 
+        # scores/softmax accumulate in fp32 even under the bf16 policy
         scores = jnp.einsum("bhld,bhmd->bhlm", q, k, preferred_element_type=jnp.float32)
         scores = scores / jnp.sqrt(jnp.float32(head_dim)).astype(scores.dtype)
         scores = scores + attention_mask
         probs = jax.nn.softmax(scores, axis=-1)
         probs = nn.Dropout(cfg.attention_probs_dropout_prob, deterministic=not train)(probs)
-        ctx = jnp.einsum("bhlm,bhmd->bhld", probs, v, preferred_element_type=jnp.float32)
+        ctx = jnp.einsum(
+            "bhlm,bhmd->bhld", probs.astype(dt), v, preferred_element_type=jnp.float32
+        )
         ctx = ctx.transpose(0, 2, 1, 3).reshape(batch, seq_len, cfg.hidden_size)
 
-        out = nn.Dense(cfg.hidden_size, kernel_init=init, name="dense")(ctx)
+        out = nn.Dense(cfg.hidden_size, kernel_init=init, dtype=dt, name="dense")(ctx)
         out = nn.Dropout(cfg.hidden_dropout_prob, deterministic=not train)(out)
         return TFLayerNorm(name="LayerNorm")(out + x)
 

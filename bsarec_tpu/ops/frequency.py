@@ -47,7 +47,8 @@ def frequency_filter(x: jnp.ndarray, proj: jnp.ndarray, sqrt_beta: jnp.ndarray) 
     x: [B, L, H]; proj: [L, L] low-pass projection; sqrt_beta: [..., H].
     Returns low_pass + sqrt_beta² ⊙ (x − low_pass)  (high-pass rescale).
     """
-    low = jnp.einsum("kl,blh->bkh", proj, x, preferred_element_type=x.dtype)
+    low = jnp.einsum("kl,blh->bkh", proj, x, preferred_element_type=jnp.float32)
+    x = x.astype(jnp.float32)
     return low + (sqrt_beta**2) * (x - low)
 
 

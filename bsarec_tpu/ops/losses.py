@@ -23,13 +23,15 @@ def full_softmax_ce(
     item_table: jnp.ndarray,
     answers: jnp.ndarray,
     impl: str = "auto",
+    dtype: str = "float32",
 ) -> jnp.ndarray:
     """Full-catalog cross entropy (reference: `src/model/bsarec.py:30-37`).
 
     seq_state: [B, H] last-position states; item_table: [V, H];
     answers: [B] int ids. Mean CE over the batch. `impl`: "dense",
     "streaming" (Pallas, see `ops/pallas_ce.py`), or "auto" (streaming
-    on TPU for production-scale catalogs, dense otherwise).
+    on TPU for production-scale catalogs, dense otherwise). `dtype` is
+    the matmul compute dtype; logsumexp/CE always accumulate fp32.
     """
     if impl == "auto":
         use_streaming = (
@@ -42,8 +44,12 @@ def full_softmax_ce(
         from bsarec_tpu.ops.pallas_ce import streaming_softmax_ce
 
         return jnp.mean(streaming_softmax_ce(seq_state, item_table, answers))
+    dt = jnp.dtype(dtype)
     logits = jnp.einsum(
-        "bh,vh->bv", seq_state, item_table, preferred_element_type=jnp.float32
+        "bh,vh->bv",
+        seq_state.astype(dt),
+        item_table.astype(dt),
+        preferred_element_type=jnp.float32,
     )
     logz = jax.nn.logsumexp(logits, axis=-1)
     gold = jnp.take_along_axis(logits, answers[:, None], axis=-1)[:, 0]

@@ -147,7 +147,7 @@ def build_train_epoch(model, tx, item_size: int, batch_size: int, num_samples: i
 STREAMING_RANK_MIN_VOCAB = 262_144
 
 
-def build_eval_fn(model, item_size: int, batch_size: int, num_users: int, impl: str = "auto", mesh=None):
+def build_eval_fn(model, item_size: int, batch_size: int, num_users: int, impl: str = "auto", mesh=None, dtype: str = "float32"):
     """Returns a jitted `evaluate(params, inputs, answers, seen) ->
     metric sums` (see `ops.topk.topk_metrics` layout).
 
@@ -155,6 +155,7 @@ def build_eval_fn(model, item_size: int, batch_size: int, num_users: int, impl: 
     ([B, V] lives briefly in HBM); "streaming" runs the Pallas vocab
     sweep (`ops/pallas_rank.py`, `seen` is then a packed bitmask);
     "auto" picks streaming on TPU for production-scale catalogs.
+    `dtype` is the scoring-matmul compute dtype (the bf16 policy).
     """
     steps = math.ceil(num_users / batch_size)
     padded = steps * batch_size
@@ -186,10 +187,11 @@ def build_eval_fn(model, item_size: int, batch_size: int, num_users: int, impl: 
                     state, table, seen[safe], k=20, n_valid=item_size
                 )
             else:
+                dt = jnp.dtype(dtype)
                 logits = jnp.einsum(
                     "bh,vh->bv",
-                    state,
-                    table[:item_size],
+                    state.astype(dt),
+                    table[:item_size].astype(dt),
                     preferred_element_type=jnp.float32,
                 )
                 _, topk_idx = masked_topk(logits, seen[safe])

@@ -109,6 +109,7 @@ class Trainer:
             data.valid.num_users,
             impl=train_cfg.eval_impl,
             mesh=self.mesh,
+            dtype=model_cfg.compute_dtype,
         )
 
         self._eval_dev = {}

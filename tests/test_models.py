@@ -128,3 +128,34 @@ def test_item_padding_row_is_zero_at_init():
         jnp.zeros((1, 50), jnp.int32), train=False,
     )
     assert np.all(np.asarray(variables["params"]["item_embeddings"]["embedding"][0]) == 0)
+
+
+@pytest.mark.parametrize("name", ["bsarec", "sasrec", "fearec"])
+def test_bf16_policy_matches_fp32(name, batch):
+    """The mixed-precision policy (matmuls bf16, params/LN/softmax/loss
+    fp32) must keep params fp32, produce finite fp32 grads, and track
+    the fp32 loss closely at init."""
+    losses = {}
+    for dt in ("float32", "bfloat16"):
+        cfg = ModelConfig(model_type=name, compute_dtype=dt, **SMALL)
+        model = build_model(cfg)
+        rng = jax.random.PRNGKey(0)
+        variables = model.init({"params": rng, "dropout": rng}, batch["input_ids"], train=False)
+        assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(variables["params"]))
+
+        def loss_fn(params):
+            return model.apply(
+                {"params": params},
+                batch["input_ids"], batch["answers"], batch["neg_answers"],
+                batch["same_target"], batch["user_ids"],
+                train=True, method="calculate_loss",
+                rngs={"dropout": jax.random.PRNGKey(1)},
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+        losses[dt] = float(loss)
+        leaves = jax.tree.leaves(grads)
+        assert all(g.dtype == jnp.float32 for g in leaves)
+        assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    # bf16 rounding moves an O(5) CE loss by <1% at init
+    assert abs(losses["bfloat16"] - losses["float32"]) < 0.05 * abs(losses["float32"])
