@@ -65,6 +65,27 @@ def make_mesh(config: MeshConfig | None = None, devices=None) -> Mesh:
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
+# The mesh a Trainer run is executing on. Model code (ops/losses.py)
+# can't thread the Mesh object through Flax module configs, but the
+# shard_map-composed streaming kernels need it at trace time; the
+# trainer registers it here before building its jitted functions.
+_ACTIVE_MESH: Mesh | None = None
+
+
+def set_active_mesh(mesh: Mesh | None) -> None:
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+
+
+def active_mesh() -> Mesh:
+    if _ACTIVE_MESH is None:
+        raise RuntimeError(
+            "no active mesh registered (set_active_mesh); "
+            "'sharded_streaming' impls require a Trainer mesh run"
+        )
+    return _ACTIVE_MESH
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -46,7 +46,7 @@ def _configure(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.eval_split.restype = None
     lib.seen_bitmask.argtypes = [
         i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-        ctypes.c_int32, u32p, ctypes.c_int64,
+        ctypes.c_int32, u32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
     ]
     lib.seen_bitmask.restype = None
     lib.same_target_pick.argtypes = [
@@ -136,7 +136,8 @@ def eval_split(offsets: np.ndarray, items: np.ndarray, max_len: int, drop: int, 
     return inputs, answers, seen
 
 
-def seen_bitmask(seen: np.ndarray, vocab: int, tile_cols: int):
+def seen_bitmask(seen: np.ndarray, vocab: int, tile_cols: int,
+                 id_offset: int = 0, mask_item0: bool = True):
     L = lib()
     if L is None:
         return None
@@ -146,7 +147,7 @@ def seen_bitmask(seen: np.ndarray, vocab: int, tile_cols: int):
     seen = np.ascontiguousarray(seen, np.int32)
     L.seen_bitmask(
         _ptr(seen, ctypes.c_int32), n_rows, n_cols, vocab, tile_cols,
-        _ptr(out, ctypes.c_uint32), out.shape[1],
+        _ptr(out, ctypes.c_uint32), out.shape[1], id_offset, int(mask_item0),
     )
     return out.view(np.int32)
 

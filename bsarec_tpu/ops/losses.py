@@ -33,6 +33,15 @@ def full_softmax_ce(
     on TPU for production-scale catalogs, dense otherwise). `dtype` is
     the matmul compute dtype; logsumexp/CE always accumulate fp32.
     """
+    if impl == "sharded_streaming":
+        # vocab-sharded mesh run: per-shard Pallas sweeps + collectives
+        # (the trainer picks this impl; see parallel/logits.py)
+        from bsarec_tpu.core.mesh import active_mesh
+        from bsarec_tpu.parallel.logits import sharded_streaming_ce
+
+        return jnp.mean(
+            sharded_streaming_ce(seq_state, item_table, answers, active_mesh())
+        )
     if impl == "auto":
         use_streaming = (
             item_table.shape[0] >= STREAMING_CE_MIN_VOCAB

@@ -463,6 +463,48 @@ def _fwd_rule(states, table, answers, n_valid, block_b, block_v, interpret):
     return loss[:b], (states, table, answers, logz)
 
 
+# ---- building blocks for the vocab-sharded (shard_map) composition ------
+# Each model-axis shard sweeps only its own table rows; the shard-local
+# (loss, logZ) pair is enough to assemble the global softmax:
+#   logZ_global = logsumexp_shards(logZ_local)
+#   gold        = Σ_shards (logZ_local − loss_local)   (0 off-shard)
+# and the backward reuses the standard kernels with the *global* logZ.
+# See `parallel/logits.py:sharded_streaming_ce`.
+
+
+def streaming_ce_stats(states, table, answers, n_valid=None, block_b: int = 256,
+                       block_v: int = 4096, interpret: bool | None = None):
+    """Per-row (loss_local, logz_local) over THIS table's rows only.
+
+    Not differentiable — a building block for cross-shard combination.
+    `answers` may contain out-of-range ids (another shard's gold): they
+    simply never match, so gold contributes 0 to loss_local.
+    """
+    interpret = _resolve_interpret(interpret)
+    sp, t2, a128, nva, bt, vt, h, pack, b, v = _prep(
+        states, table, answers, n_valid, block_b, block_v
+    )
+    loss, logz = _run_fwd(sp, t2, a128, nva, bt, vt, h, pack, interpret)
+    return loss[:b], logz[:b]
+
+
+def streaming_ce_grads(states, table, answers, logz, dloss, n_valid=None,
+                       block_b: int = 256, block_v: int = 4096,
+                       interpret: bool | None = None):
+    """(dstates_partial, dtable) for this shard given the GLOBAL per-row
+    logZ. dstates_partial sums only this shard's softmax columns — psum
+    it over the model axis; dtable covers exactly this shard's rows —
+    psum it over the data axis."""
+    interpret = _resolve_interpret(interpret)
+    sp, t2, a128, nva, bt, vt, h, pack, b, v = _prep(
+        states, table, answers, n_valid, block_b, block_v
+    )
+    zp = _pad_to(logz, sp.shape[0], 0)
+    dp = _pad_to(dloss, sp.shape[0], 0)  # padded rows: dloss 0 -> no grad
+    dstates, dtable2 = _run_bwd(sp, t2, a128, zp, dp, nva, bt, vt, h, pack, interpret)
+    return dstates[:b], dtable2.reshape(-1, h)[:v]
+
+
 def _bwd_rule(n_valid, block_b, block_v, interpret, res, dloss):
     interpret = _resolve_interpret(interpret)
     states, table, answers, logz = res

@@ -45,35 +45,62 @@ INT_MAX = 2**31 - 1  # python literal: jnp constants would be captured as kernel
 TILE_COLS = 4096  # vocab-tile width; W = TILE_COLS // 32 = 128 lanes of mask words
 
 
-def build_seen_bitmask(seen_items: np.ndarray, vocab_size: int) -> np.ndarray:
+def build_seen_bitmask(seen_items: np.ndarray, vocab_size: int,
+                       id_offset: int = 0, mask_item0: bool = True) -> np.ndarray:
     """[B, S] 0-padded seen-item lists -> [B, Vp/32] int32 bitmask
     (Vp = vocab_size rounded up to TILE_COLS), bit-plane-per-tile layout:
     item v lives in word (v // TILE_COLS) * W + (v % TILE_COLS) % W at
     bit (v % TILE_COLS) // W, W = TILE_COLS // 32.
 
-    The padding item's bit (item 0 -> word 0, bit 0) is always set: the
-    reference's 0-padded seen lists zero column 0 for every user
-    (`src/trainers.py:134`).
+    With `mask_item0` the padding item's bit (item 0 -> word 0, bit 0)
+    is always set: the reference's 0-padded seen lists zero column 0
+    for every user (`src/trainers.py:134`). `id_offset` shifts ids into
+    shard-local coordinates for vocab-sharded tables (ids outside
+    [0, vocab_size) after the shift are dropped; global padding id 0 is
+    always dropped).
     """
     from bsarec_tpu import native
 
-    fast = native.seen_bitmask(np.asarray(seen_items), vocab_size, TILE_COLS)
+    fast = native.seen_bitmask(
+        np.asarray(seen_items), vocab_size, TILE_COLS, id_offset, mask_item0
+    )
     if fast is not None:
         return fast
 
     w = TILE_COLS // 32
     vp = -(-vocab_size // TILE_COLS) * TILE_COLS
     out = np.zeros((seen_items.shape[0], vp // 32), np.uint32)
-    out[:, 0] = 1  # item 0
+    if mask_item0:
+        out[:, 0] |= 1  # item 0
     rows = np.repeat(np.arange(seen_items.shape[0]), seen_items.shape[1])
-    ids = seen_items.reshape(-1).astype(np.int64)
-    keep = ids > 0
+    raw = seen_items.reshape(-1).astype(np.int64)
+    ids = raw - id_offset
+    keep = (raw > 0) & (ids >= 0) & (ids < vocab_size)
     rows, ids = rows[keep], ids[keep]
     u = ids % TILE_COLS
     words = (ids // TILE_COLS) * w + u % w
     bits = (u // w).astype(np.uint32)
     np.bitwise_or.at(out, (rows, words), np.uint32(1) << bits)
     return out.view(np.int32)
+
+
+def build_seen_bitmask_sharded(seen_items: np.ndarray, vocab_size: int,
+                               n_shards: int) -> np.ndarray:
+    """Per-shard bitmask stack [n_shards, B, rows_p/32] for a vocab
+    row-sharded table (shard s owns global rows [s·rows, (s+1)·rows),
+    rows = vocab_size / n_shards). Shard the result P(model, data, None)
+    and each device's slice is exactly `build_seen_bitmask` of its own
+    rows in shard-local coordinates."""
+    assert vocab_size % n_shards == 0, (vocab_size, n_shards)
+    rows = vocab_size // n_shards
+    return np.stack(
+        [
+            build_seen_bitmask(
+                seen_items, rows, id_offset=s * rows, mask_item0=(s == 0)
+            )
+            for s in range(n_shards)
+        ]
+    )
 
 
 def _rank_kernel(k, nv_ref, s_ref, t_ref, m_ref, vals_ref, ids_ref, rv_sc, ri_sc):

@@ -16,6 +16,7 @@ with vocab-sharded device code:
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import jax
@@ -124,3 +125,202 @@ def sharded_masked_topk(
         return fvals, fidx
 
     return topk(states, table, seen_items)
+
+
+# --------------------------------------------------------------------------
+# streaming (Pallas) kernels composed with the vocab-sharded mesh
+# --------------------------------------------------------------------------
+#
+# `pallas_call` has no SPMD partitioning rule, so the O(B)-memory
+# streaming kernels can't be left to the auto-partitioner the way the
+# dense paths above are. Instead each model-axis shard runs the kernel
+# over ITS OWN table rows inside `shard_map` and the shard-local stats
+# are glued with collectives:
+#
+#   CE:    logZ = logsumexp_shards(logZ_local),
+#          gold = Σ_shards gold_local       (0 off-shard)
+#   top-k: shift local ids to global, all_gather, re-top-k (identical
+#          merge to `sharded_masked_topk`).
+#
+# This removes the dense fallback for BASELINE config #5 (10M items,
+# multi-chip): per-device memory stays O(B + V/m·H) with no [B, V/m]
+# logit slab. Scaled reference behavior: `src/model/bsarec.py:33-35`,
+# `src/trainers.py:126-149`.
+
+
+def _local_answers(a, shard, rows):
+    """Global gold ids -> shard-local ids; off-shard ids become -1 so
+    they never match a column (a raw out-of-range id could land in the
+    kernel's -inf padded region and poison the gold sum)."""
+    la = a - shard * rows
+    return jnp.where((la >= 0) & (la < rows), la, -1)
+
+
+def _sce_primal(states, table, answers, mesh, model_axis, data_axis,
+                block_b, block_v, interpret):
+    loss, _ = _sce_fwd(
+        states, table, answers, mesh, model_axis, data_axis,
+        block_b, block_v, interpret,
+    )
+    return loss
+
+
+_sce = jax.custom_vjp(_sce_primal, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+
+
+def _sce_fwd(states, table, answers, mesh, model_axis, data_axis,
+             block_b, block_v, interpret):
+    from bsarec_tpu.ops.pallas_ce import streaming_ce_stats
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(data_axis, None), P(model_axis, None), P(data_axis)),
+        out_specs=(P(data_axis), P(data_axis)),
+        # pallas_call's out_shape carries no vma annotation, so the
+        # varying-mesh-axes checker can't see through it; the psums
+        # below make both outputs model-axis invariant (pinned by
+        # tests/test_parallel.py::test_sharded_streaming_ce_matches_dense)
+        check_vma=False,
+    )
+    def fwd(s, t, a):
+        rows = t.shape[0]
+        shard = jax.lax.axis_index(model_axis)
+        loss_l, logz_l = streaming_ce_stats(
+            s, t, _local_answers(a, shard, rows),
+            block_b=block_b, block_v=block_v, interpret=interpret,
+        )
+        gold_l = logz_l - loss_l  # exactly the in-kernel gold sum; 0 off-shard
+        m = jax.lax.pmax(logz_l, model_axis)
+        logz = jnp.log(jax.lax.psum(jnp.exp(logz_l - m), model_axis)) + m
+        gold = jax.lax.psum(gold_l, model_axis)
+        return logz - gold, logz
+
+    loss, logz = fwd(states, table, answers)
+    return loss, (states, table, answers, logz)
+
+
+def _sce_bwd(mesh, model_axis, data_axis, block_b, block_v, interpret,
+             res, dloss):
+    from bsarec_tpu.ops.pallas_ce import streaming_ce_grads
+
+    states, table, answers, logz = res
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(data_axis, None), P(model_axis, None), P(data_axis),
+            P(data_axis), P(data_axis),
+        ),
+        out_specs=(P(data_axis, None), P(model_axis, None)),
+        check_vma=False,  # same pallas out_shape limitation as _sce_fwd
+    )
+    def bwd(s, t, a, z, d):
+        rows = t.shape[0]
+        shard = jax.lax.axis_index(model_axis)
+        ds_part, dt_part = streaming_ce_grads(
+            s, t, _local_answers(a, shard, rows), z, d,
+            block_b=block_b, block_v=block_v, interpret=interpret,
+        )
+        # each shard's dstates sums only its own softmax columns; each
+        # shard's dtable covers its own rows but only this data-shard's
+        # batch rows
+        return (
+            jax.lax.psum(ds_part, model_axis),
+            jax.lax.psum(dt_part, data_axis),
+        )
+
+    ds, dt = bwd(states, table, answers, logz, dloss)
+    return ds, dt, None
+
+
+_sce.defvjp(_sce_fwd, _sce_bwd)
+
+
+def sharded_streaming_ce(
+    states: jnp.ndarray,  # [B, H], data-sharded
+    table: jnp.ndarray,  # [V, H], model-row-sharded (V % m == 0)
+    answers: jnp.ndarray,  # [B] global gold ids, data-sharded
+    mesh: Mesh,
+    model_axis: str = "model",
+    data_axis: str = "data",
+    block_b: int = 256,
+    block_v: int = 4096,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Per-example full-catalog CE via per-shard streaming Pallas sweeps.
+
+    Matches `streaming_softmax_ce` (and the dense logsumexp) at f32 up
+    to psum reduction order. Differentiable in (states, table).
+    """
+    assert table.shape[0] % mesh.shape[model_axis] == 0, (
+        table.shape, dict(mesh.shape)
+    )
+    return _sce(states, table, answers, mesh, model_axis, data_axis,
+                block_b, block_v, interpret)
+
+
+def sharded_streaming_topk(
+    states: jnp.ndarray,  # [B, H], data-sharded
+    table: jnp.ndarray,  # [V, H], model-row-sharded (V % m == 0)
+    seen_masks: jnp.ndarray,  # [m, B, W] per-shard bitmask stack
+    mesh: Mesh,
+    k: int = 20,
+    max_valid_items: int | None = None,
+    model_axis: str = "model",
+    data_axis: str = "data",
+    block_b: int = 128,
+    interpret: bool | None = None,
+):
+    """Streaming masked top-k over a vocab-sharded table.
+
+    `seen_masks` comes from `ops.pallas_rank.build_seen_bitmask_sharded`
+    (shard s's slice masks its own rows in shard-local coordinates).
+    Returns (values [B, k], global ids [B, k]); ties pick the smallest
+    global id, exactly like the unsharded kernel (the final top_k is
+    stable and shards are concatenated in id order).
+    """
+    from bsarec_tpu.ops.pallas_rank import streaming_masked_topk
+
+    m_shards = mesh.shape[model_axis]
+    assert table.shape[0] % m_shards == 0, (table.shape, dict(mesh.shape))
+    rows = table.shape[0] // m_shards
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(data_axis, None), P(model_axis, None),
+            P(model_axis, data_axis, None),
+        ),
+        out_specs=(P(data_axis, None), P(data_axis, None)),
+        # identical all_gather + top_k on every model shard -> outputs
+        # are replicated over the model axis by construction (same
+        # justification as sharded_masked_topk; pinned by
+        # tests/test_parallel.py::test_sharded_streaming_outputs_replicated)
+        check_vma=False,
+    )
+    def topk(s, t, masks):
+        shard = jax.lax.axis_index(model_axis)
+        start = shard * rows
+        nv = (
+            rows if max_valid_items is None
+            else jnp.clip(max_valid_items - start, 0, rows)
+        )
+        vals, ids = streaming_masked_topk(
+            s, t, masks[0], k=k, n_valid=nv, block_b=block_b,
+            interpret=interpret,
+        )
+        gidx = ids + start
+        vals_all = jax.lax.all_gather(vals, model_axis)  # [m, b, k]
+        gidx_all = jax.lax.all_gather(gidx, model_axis)
+        m = vals_all.shape[0]
+        b = vals_all.shape[1]
+        vals_cat = vals_all.transpose(1, 0, 2).reshape(b, m * k)
+        gidx_cat = gidx_all.transpose(1, 0, 2).reshape(b, m * k)
+        fvals, fpos = jax.lax.top_k(vals_cat, k)
+        fidx = jnp.take_along_axis(gidx_cat, fpos, axis=-1)
+        return fvals, fidx
+
+    return topk(states, table, seen_masks)

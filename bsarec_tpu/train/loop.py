@@ -154,6 +154,9 @@ def build_eval_fn(model, item_size: int, batch_size: int, num_users: int, impl: 
     impl: "dense" scores the full catalog per batch and masks/top-ks it
     ([B, V] lives briefly in HBM); "streaming" runs the Pallas vocab
     sweep (`ops/pallas_rank.py`, `seen` is then a packed bitmask);
+    "sharded_streaming" runs the per-shard Pallas sweep composition
+    over a vocab-sharded mesh (`parallel/logits.py`, `seen` is then a
+    [m, B, W] bitmask stack from `build_seen_bitmask_sharded`);
     "auto" picks streaming on TPU for production-scale catalogs.
     `dtype` is the scoring-matmul compute dtype (the bf16 policy).
     """
@@ -185,6 +188,13 @@ def build_eval_fn(model, item_size: int, batch_size: int, num_users: int, impl: 
 
                 _, topk_idx = streaming_masked_topk(
                     state, table, seen[safe], k=20, n_valid=item_size
+                )
+            elif impl == "sharded_streaming":
+                from bsarec_tpu.parallel.logits import sharded_streaming_topk
+
+                _, topk_idx = sharded_streaming_topk(
+                    state, table, seen[:, safe], mesh,
+                    k=20, max_valid_items=item_size,
                 )
             else:
                 dt = jnp.dtype(dtype)

@@ -49,9 +49,12 @@ class Trainer:
         mesh_cfg = meshlib.parse_mesh_spec(train_cfg.mesh)
         self.mesh = meshlib.make_mesh(mesh_cfg) if mesh_cfg else None
 
-        # the streaming Pallas kernels cannot be SPMD-partitioned: when the
-        # item table is vocab-sharded over the mesh, force the dense XLA
-        # paths (which the partitioner handles) for loss and eval
+        # pallas_call has no SPMD partitioning rule, so when the item
+        # table is vocab-sharded the streaming kernels run per-shard
+        # inside shard_map ("sharded_streaming", parallel/logits.py)
+        # instead of being left to the auto-partitioner; "dense" stays
+        # the small-catalog / CPU default exactly as in the unsharded
+        # "auto" policy
         self._vocab_sharded = bool(
             self.mesh is not None
             and self.mesh.shape[meshlib.MODEL_AXIS] > 1
@@ -60,11 +63,32 @@ class Trainer:
         if self._vocab_sharded:
             import dataclasses as _dc
 
-            model_cfg = model_cfg.replace(loss_impl="dense")
+            from bsarec_tpu.ops.losses import STREAMING_CE_MIN_VOCAB
+
+            meshlib.set_active_mesh(self.mesh)
+            # BERT4Rec's [mask] row makes its table (item_size + 1)
+            # rows — not row-shardable when item_size % m == 0 — so it
+            # keeps the dense paths (its table replicates anyway,
+            # see _apply_placement)
+            shardable = model_cfg.model_type.lower() != "bert4rec"
+            big = (
+                model_cfg.item_size >= STREAMING_CE_MIN_VOCAB
+                and jax.default_backend() == "tpu"
+            )
+
+            def mesh_impl(requested: str) -> str:
+                if not shardable or requested == "dense":
+                    return "dense"
+                if requested == "streaming" or (requested == "auto" and big):
+                    return "sharded_streaming"
+                return "dense"
+
+            model_cfg = model_cfg.replace(loss_impl=mesh_impl(model_cfg.loss_impl))
             self.model_cfg = model_cfg
-            if train_cfg.eval_impl == "auto":
-                train_cfg = _dc.replace(train_cfg, eval_impl="dense")
-                self.train_cfg = train_cfg
+            train_cfg = _dc.replace(
+                train_cfg, eval_impl=mesh_impl(train_cfg.eval_impl)
+            )
+            self.train_cfg = train_cfg
 
         self.model = build_model(model_cfg)
         self.rng = jax.random.PRNGKey(train_cfg.seed)
@@ -119,6 +143,14 @@ class Trainer:
                 from bsarec_tpu.ops.pallas_rank import build_seen_bitmask
 
                 seen = build_seen_bitmask(split.seen_items, model_cfg.item_size)
+            elif self.eval_impl == "sharded_streaming":
+                from bsarec_tpu.ops.pallas_rank import build_seen_bitmask_sharded
+
+                seen = build_seen_bitmask_sharded(
+                    split.seen_items,
+                    model_cfg.item_size,
+                    self.mesh.shape[meshlib.MODEL_AXIS],
+                )
             else:
                 seen = split.seen_items
             self._eval_dev[split_name] = {

@@ -178,18 +178,24 @@ void eval_split(const int32_t* offsets, const int32_t* items, int64_t n_users,
 // item v -> word (v / TILE) * W + (v % TILE) % W, bit (v % TILE) / W
 // ---------------------------------------------------------------------------
 
+// `id_offset` shifts ids into shard-local coordinates (vocab-sharded
+// tables: shard s covers global ids [offset, offset + vocab)); ids
+// falling outside [1, vocab) after the shift are skipped. `mask_item0`
+// sets local item 0's bit unconditionally — wanted only on the shard
+// owning the global padding item (reference zeroes column 0 for every
+// user, src/trainers.py:134).
 void seen_bitmask(const int32_t* seen, int64_t n_rows, int64_t n_cols,
                   int64_t vocab, int32_t tile_cols, uint32_t* out,
-                  int64_t out_words) {
+                  int64_t out_words, int64_t id_offset, int32_t mask_item0) {
   int64_t w = tile_cols / 32;
   memset(out, 0, sizeof(uint32_t) * n_rows * out_words);
   for (int64_t r = 0; r < n_rows; ++r) {
     uint32_t* row = out + r * out_words;
-    row[0] |= 1u;  // padding item 0
+    if (mask_item0) row[0] |= 1u;  // padding item 0
     const int32_t* ids = seen + r * n_cols;
     for (int64_t c = 0; c < n_cols; ++c) {
-      int64_t v = ids[c];
-      if (v <= 0 || v >= vocab) continue;
+      int64_t v = (int64_t)ids[c] - id_offset;
+      if (ids[c] <= 0 || v < 0 || v >= vocab) continue;
       int64_t u = v % tile_cols;
       row[(v / tile_cols) * w + u % w] |= 1u << (u / w);
     }

@@ -126,3 +126,108 @@ def test_sharded_topk_max_valid_items(mesh):
     seen_s = jax.device_put(jnp.asarray(seen), NamedSharding(mesh, P("data", None)))
     _, idx = sharded_masked_topk(states_s, table_s, seen_s, mesh, k=10, max_valid_items=50)
     assert (np.asarray(idx) < 50).all()
+
+
+# ---- streaming (Pallas) kernels composed with the mesh --------------------
+
+from bsarec_tpu.ops.pallas_rank import build_seen_bitmask_sharded
+from bsarec_tpu.parallel.logits import sharded_streaming_ce, sharded_streaming_topk
+
+
+def _place(mesh, states, table, answers=None):
+    t = jax.device_put(jnp.asarray(table), NamedSharding(mesh, P("model", None)))
+    s = jax.device_put(jnp.asarray(states), NamedSharding(mesh, P("data", None)))
+    if answers is None:
+        return s, t
+    a = jax.device_put(jnp.asarray(answers), NamedSharding(mesh, P("data")))
+    return s, t, a
+
+
+@pytest.mark.parametrize("shape", [(4, 2), (2, 4), (1, 8)])
+def test_sharded_streaming_ce_matches_dense(shape):
+    rng = np.random.default_rng(5)
+    mesh = make_mesh(*shape)
+    b, v, h = 8, 64, 16
+    states = rng.normal(size=(b, h)).astype(np.float32)
+    table = rng.normal(size=(v, h)).astype(np.float32)
+    answers = rng.integers(1, v, size=b).astype(np.int32)
+
+    def dense(s, t):
+        lg = jnp.einsum("bh,vh->bv", s, t)
+        lz = jax.nn.logsumexp(lg, axis=-1)
+        gold = jnp.take_along_axis(lg, jnp.asarray(answers)[:, None], axis=-1)[:, 0]
+        return lz - gold
+
+    want = np.asarray(dense(jnp.asarray(states), jnp.asarray(table)))
+    s, t, a = _place(mesh, states, table, answers)
+    got = np.asarray(sharded_streaming_ce(s, t, a, mesh))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
+
+    # grads w.r.t. both states and table, through the mean
+    g_want = jax.grad(
+        lambda s_, t_: jnp.mean(dense(s_, t_)), argnums=(0, 1)
+    )(jnp.asarray(states), jnp.asarray(table))
+    g_got = jax.grad(
+        lambda s_, t_: jnp.mean(sharded_streaming_ce(s_, t_, a, mesh)),
+        argnums=(0, 1),
+    )(s, t)
+    np.testing.assert_allclose(np.asarray(g_got[0]), np.asarray(g_want[0]), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(g_got[1]), np.asarray(g_want[1]), atol=2e-6)
+
+
+@pytest.mark.parametrize("shape", [(4, 2), (2, 4)])
+def test_sharded_streaming_topk_matches_unsharded(shape):
+    rng = np.random.default_rng(6)
+    mesh = make_mesh(*shape)
+    b, v, h = 8, 8192 * 2, 16  # two vocab tiles per shard at m=2
+    states = rng.normal(size=(b, h)).astype(np.float32)
+    table = rng.normal(size=(v, h)).astype(np.float32)
+    seen = rng.integers(1, v, size=(b, 6)).astype(np.int32)
+    seen[:, -2:] = 0
+    n_valid = v - 100  # exercise the per-shard n_valid clipping
+
+    scores = jnp.asarray(states @ table.T)
+    masked = scores.at[:, 0].set(0.0)
+    bix = np.repeat(np.arange(b), seen.shape[1])
+    masked = masked.at[bix, seen.reshape(-1)].set(
+        jnp.where(jnp.asarray(seen.reshape(-1)) > 0, 0.0, masked[bix, seen.reshape(-1)])
+    )
+    masked = masked.at[:, n_valid:].set(-np.inf)
+    want_vals, want_idx = jax.lax.top_k(masked, 10)
+
+    stack = build_seen_bitmask_sharded(seen, v, mesh.shape["model"])
+    s, t = _place(mesh, states, table)
+    m_s = jax.device_put(
+        jnp.asarray(stack), NamedSharding(mesh, P("model", "data", None))
+    )
+    got_vals, got_idx = sharded_streaming_topk(
+        s, t, m_s, mesh, k=10, max_valid_items=n_valid
+    )
+    np.testing.assert_allclose(np.asarray(got_vals), np.asarray(want_vals), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got_idx), np.asarray(want_idx))
+
+
+def test_sharded_streaming_outputs_replicated(mesh):
+    """check_vma=False claim: every model-axis shard holds identical
+    top-k outputs (pin so a refactor can't silently break replication)."""
+    rng = np.random.default_rng(7)
+    b, v, h = 8, 8192, 16
+    states = rng.normal(size=(b, h)).astype(np.float32)
+    table = rng.normal(size=(v, h)).astype(np.float32)
+    seen = np.zeros((b, 1), np.int32)
+
+    stack = build_seen_bitmask_sharded(seen, v, mesh.shape["model"])
+    s, t = _place(mesh, states, table)
+    m_s = jax.device_put(
+        jnp.asarray(stack), NamedSharding(mesh, P("model", "data", None))
+    )
+    vals, idx = sharded_streaming_topk(s, t, m_s, mesh, k=10)
+    for arr in (vals, idx):
+        by_index = {}
+        for shard in arr.addressable_shards:
+            key = shard.index
+            got = np.asarray(shard.data)
+            if key in by_index:
+                np.testing.assert_array_equal(got, by_index[key])
+            else:
+                by_index[key] = got

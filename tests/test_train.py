@@ -226,9 +226,11 @@ def test_throughput_accumulator_skips_compile_epoch():
     assert rate > 0 and t.steady_rate > 0
 
 
-def test_vocab_sharded_mesh_forces_dense_impls(tmp_path):
+def test_vocab_sharded_mesh_impl_selection(tmp_path):
     """pallas_call has no SPMD partitioning rule: a vocab-sharded table
-    must never route into the streaming kernels (code-review finding)."""
+    routes streaming requests into the shard_map composition
+    ("sharded_streaming", parallel/logits.py), never the raw kernels;
+    "auto" stays dense off-TPU / for small catalogs."""
     import dataclasses
 
     corpus = synthetic_corpus(n_items=31)  # item_size 32, divisible by model:2
@@ -241,9 +243,53 @@ def test_vocab_sharded_mesh_forces_dense_impls(tmp_path):
     cfg = TrainConfig(lr=0.01, batch_size=32, epochs=1, seed=1, mesh="data:4,model:2")
     t = Trainer(model_cfg, cfg, data, _quiet_logger(), str(tmp_path / "m.ckpt"))
     assert t._vocab_sharded
-    assert t.model_cfg.loss_impl == "dense"
+    assert t.model_cfg.loss_impl == "dense"  # auto: small catalog on CPU
     assert t.eval_impl == "dense"
-    # explicit streaming request on a sharded table is NOT silently overridden
+    # explicit streaming request composes with the mesh via shard_map
     cfg2 = dataclasses.replace(cfg, eval_impl="streaming")
-    t2 = Trainer(model_cfg, cfg2, data, _quiet_logger(), str(tmp_path / "m2.ckpt"))
-    assert t2.eval_impl == "streaming"  # user said so; documented unsupported
+    t2 = Trainer(
+        model_cfg.replace(loss_impl="streaming"), cfg2, data,
+        _quiet_logger(), str(tmp_path / "m2.ckpt"),
+    )
+    assert t2.model_cfg.loss_impl == "sharded_streaming"
+    assert t2.eval_impl == "sharded_streaming"
+    # BERT4Rec's (item_size + 1)-row table is not row-shardable: dense
+    bert_cfg = model_cfg.replace(model_type="bert4rec", loss_impl="streaming")
+    t3 = Trainer(bert_cfg, cfg2, data, _quiet_logger(), str(tmp_path / "m3.ckpt"))
+    assert t3.model_cfg.loss_impl == "dense"
+    assert t3.eval_impl == "dense"
+
+
+def test_mesh_streaming_training_matches_single_device(tmp_path):
+    """The shard_map-composed streaming kernels (loss AND eval) follow
+    the single-device dense trajectory on a data:4,model:2 mesh — the
+    VERDICT round-1 headline gap (streaming × vocab sharding)."""
+    import dataclasses
+
+    corpus = synthetic_corpus(n_items=31)
+    data = SeqRecData(corpus, max_len=10)
+    model_cfg = ModelConfig(
+        model_type="bsarec", item_size=corpus.item_size, num_users=corpus.num_users + 1,
+        max_seq_length=10, hidden_size=16, num_hidden_layers=1, num_attention_heads=1,
+        hidden_dropout_prob=0.1, attention_probs_dropout_prob=0.1, c=3, alpha=0.7,
+    )
+    base = TrainConfig(lr=0.01, batch_size=32, epochs=2, seed=11, log_freq=100)
+    single = Trainer(model_cfg, base, data, _quiet_logger(), str(tmp_path / "s.ckpt"))
+
+    mesh_cfg = dataclasses.replace(
+        base, mesh="data:4,model:2", eval_impl="streaming"
+    )
+    meshed = Trainer(
+        model_cfg.replace(loss_impl="streaming"), mesh_cfg, data,
+        _quiet_logger(), str(tmp_path / "m.ckpt"),
+    )
+    assert meshed.model_cfg.loss_impl == "sharded_streaming"
+    assert meshed.eval_impl == "sharded_streaming"
+
+    losses_s = [single.train(e) for e in range(2)]
+    losses_m = [meshed.train(e) for e in range(2)]
+    np.testing.assert_allclose(losses_m, losses_s, rtol=2e-4)
+
+    ms, _ = single.valid(0)
+    mm, _ = meshed.valid(0)
+    np.testing.assert_allclose(np.asarray(mm), np.asarray(ms), atol=1e-5)
