@@ -30,6 +30,10 @@ class PrepRecConfig:
     # positional / time embeddings
     no_emb: bool = False
     no_fixed_emb: bool = False
+    # few-shot adapter (`--fs_emb`, repo-b/model.py:43-49,101): an extra
+    # InitFeedForward after the popularity embed layer; with a transferred
+    # state dict, only this layer trains (repo-b/main.py:164-170)
+    fs_emb: bool = False
     time_embed: bool = False
     time_no_fixed_embed: bool = False
     time_embed_concat: bool = False
@@ -67,3 +71,13 @@ class PrepRecTrainConfig:
     stop_early: int = 3
     seed: int = 2023
     fs_prop: float = 1.0  # few-shot fraction of batches
+    fs_num_epochs: int = 80  # epochs for --fs_transfer (repo-b/main.py:173-174)
+    # eval scoring batch; 0 = auto (64 sampled-negatives / 8 full-catalog
+    # — the full-catalog path holds [batch, itemnum] score tiles)
+    eval_batch_size: int = 0
+    l2_emb: float = 0.0  # SASRec item-emb L2 (repo-b/train_test.py:58-59)
+    first_eval: bool = False  # eval before epoch 1 (repo-b/train_test.py:29-33)
+    train_only: bool = False  # skip final test (repo-b/train_test.py:284)
+    # skip reloading the best validation state before the final test
+    # (repo-b/train_test.py:290-293)
+    state_override: bool = False

@@ -41,6 +41,21 @@ def parse(argv=None):
     p.add_argument("--dropout_rate", default=0.2, type=float)
     p.add_argument("--inference_only", action="store_true")
     p.add_argument("--train_only", action="store_true")
+    p.add_argument("--first_eval", action="store_true")
+    p.add_argument("--state_override", action="store_true")
+    p.add_argument("--l2_emb", default=0.0, type=float)
+    # accepted for drop-in CLI compatibility; no-ops here:
+    # --device / --max_split_size target torch/CUDA (the JAX backend and
+    # allocator are process-global); --save_neg and --augment/--augfulllen
+    # are dead or vestigial in the reference itself (only parse.py defines
+    # save_neg/augfulllen; --augment changes WarpSampler's usernum and an
+    # eval unpack that no data_partition variant produces,
+    # repo-b/utils.py:343-344)
+    p.add_argument("--device", default="tpu", type=str)
+    p.add_argument("--max_split_size", default=-1.0, type=float)
+    p.add_argument("--save_neg", action="store_true")
+    p.add_argument("--augment", action="store_true")
+    p.add_argument("--augfulllen", default=0, type=int)
     p.add_argument("--mode", default="test", type=str)
     p.add_argument("--prev_time", action="store_true")
     p.add_argument("--no_valid_in_test", action="store_true")
@@ -63,6 +78,9 @@ def parse(argv=None):
     p.add_argument("--transfer", action="store_true")
     p.add_argument("--fs_transfer", action="store_true")
     p.add_argument("--fs_prop", default=1.0, type=float)
+    p.add_argument("--fs_num_epochs", default=80, type=int)
+    p.add_argument("--fs_emb", action="store_true")
+    p.add_argument("--eval_batch_size", default=0, type=int)
     p.add_argument("--loss_size", default=250, type=int)
     p.add_argument("--no_emb", action="store_true")
     p.add_argument("--no_fixed_emb", action="store_true")
@@ -82,8 +100,14 @@ def parse(argv=None):
     p.add_argument("--aug_coef", default=0.1, type=float)
     p.add_argument("--sparse", action="store_true")
     p.add_argument("--override_sparse", action="store_true")
+    p.add_argument("--sparse_name", default="sparse_", type=str)
+    p.add_argument("--time_df_mod", default="", type=str)
     p.add_argument("--save_ranks", action="store_true")
     p.add_argument("--ranks_name", default="ranks", type=str)
+    # `--not_rank_scores` skips ranking when dumping scores; here
+    # --save_scores already dumps raw scores without ranking, so the flag
+    # is accepted and implied (repo-b/utils.py:552-567)
+    p.add_argument("--not_rank_scores", action="store_true")
     # concurrent dual-dataset training (newrec only; repo-b/parse.py:63)
     p.add_argument("--dataset2", default="", type=str)
     # raw-score dump / saved-score ensembling (repo-b/parse.py:68-72)
@@ -91,8 +115,12 @@ def parse(argv=None):
     p.add_argument("--use_scores", action="store_true")
     p.add_argument("--use_score_dir", default="", type=str)
     p.add_argument("--alphas", nargs="+", default=[0.5], type=float)
-    # user-embedding export (repo-b/utils.py:575-621)
-    p.add_argument("--export_user_embed", action="store_true")
+    # user-embedding export (repo-b/utils.py:575-621; --save_emb is the
+    # reference flag name — dead code there, functional here)
+    p.add_argument(
+        "--export_user_embed", "--save_emb", dest="export_user_embed",
+        action="store_true",
+    )
     p.add_argument("--label", default="embed", type=str)
     return p.parse_args(argv)
 
@@ -103,7 +131,21 @@ def main(argv=None):
     logger = logging.getLogger("preprec")
 
     prefix = os.path.join(args.data_dir, args.dataset)
-    ds = load_intwtime(f"{prefix}_intwtime.csv", args.maxlen, sparse=args.sparse)
+    # reference file naming: f"{ds}_{sparse_name}intwtime{mod}.csv" when
+    # sparse (repo-b/data.py:27,91-94); sparse runs also read the
+    # sparse-prefixed popularity files (repo-b/main.py:33-36)
+    sp = args.sparse_name if args.sparse else ""
+    stem = f"{sp}intwtime{args.time_df_mod}"
+    if args.sparse:
+        args.monthpop = sp + args.monthpop
+        args.weekpop = sp + args.weekpop
+        args.week_eval_pop = sp + args.week_eval_pop
+    ds = load_intwtime(f"{prefix}_{stem}.csv", args.maxlen, sparse=args.sparse)
+    if args.transfer and args.state_dict_path:
+        # zero-shot transfer: load weights, no training (repo-b/main.py:171-172)
+        args.inference_only = True
+    if args.fs_transfer:
+        args.num_epochs = args.fs_num_epochs  # repo-b/main.py:173-174
 
     cfg = PrepRecConfig(
         model=args.model, usernum=ds.usernum, itemnum=ds.itemnum,
@@ -123,12 +165,28 @@ def main(argv=None):
         sparse=args.sparse, override_sparse=args.override_sparse,
         no_valid_in_test=args.no_valid_in_test,
         eval_quality=args.eval_quality, quality_size=args.quality_size,
+        fs_emb=args.fs_emb,
     )
     tcfg = PrepRecTrainConfig(
         lr=args.lr, wd=args.wd, batch_size=args.batch_size,
         num_epochs=args.num_epochs, epoch_test=args.epoch_test,
         stop_early=args.stop_early, seed=args.seed, fs_prop=args.fs_prop,
+        fs_num_epochs=args.fs_num_epochs,
+        eval_batch_size=args.eval_batch_size, l2_emb=args.l2_emb,
+        first_eval=args.first_eval, train_only=args.train_only,
+        state_override=args.state_override,
     )
+
+    userpop = None
+    if args.eval_quality:
+        # user-popularity percentiles for grouped metrics
+        # (repo-b/utils.py:329-336; the 5 -> 5.5 half-split jitter is the
+        # reference's amazon_office tie-break)
+        userpop = np.loadtxt(f"{prefix}_{args.userpop}.txt").reshape(-1)
+        if args.dataset.endswith("amazon_office"):
+            jrng = np.random.default_rng(args.seed)
+            fives = np.where(userpop == 5)[0]
+            userpop[jrng.choice(fives, fives.size // 2, replace=False)] = 5.5
 
     usernegs = None
     if args.eval_method == 1:
@@ -169,7 +227,7 @@ def main(argv=None):
     second = None
     if args.dataset2:
         prefix2 = os.path.join(args.data_dir, args.dataset2)
-        ds2 = load_intwtime(f"{prefix2}_intwtime.csv", args.maxlen, sparse=args.sparse)
+        ds2 = load_intwtime(f"{prefix2}_{stem}.csv", args.maxlen, sparse=args.sparse)
         cfg2 = dataclasses.replace(cfg, usernum=ds2.usernum, itemnum=ds2.itemnum)
         pop2 = PopularityEncoding.load(
             f"{prefix2}_{args.monthpop}.txt", f"{prefix2}_{args.weekpop}.txt", cfg2
@@ -201,17 +259,17 @@ def main(argv=None):
                 metrics = metrics_from_ranks(ranks, cfg.topk)
                 logger.info(f"alpha={alpha}: {metrics}")
         else:
-            metrics, ranks = trainer.evaluate(args.mode)
+            metrics, ranks = trainer.evaluate(args.mode, userpop)
             for (ndcg, hr), k in zip(metrics, cfg.topk):
                 logger.info(f"{args.mode} NDCG@{k}: {ndcg}, HR@{k}: {hr}")
     else:
-        metrics, ranks = trainer.fit(second=second)
+        metrics, ranks = trainer.fit(userpop=userpop, second=second)
 
     if args.save_scores:
         add = "_global" if args.eval_method == 3 else ""
         add += "_transf" if args.transfer else ""
         np.savetxt(os.path.join(write, f"preds{add}.txt"), trainer.eval_scores(args.mode))
-    if args.save_ranks and not args.use_scores:
+    if args.save_ranks and not args.use_scores and ranks is not None:
         np.savetxt(os.path.join(write, f"{args.ranks_name}.txt"), ranks)
     return metrics
 

@@ -196,6 +196,14 @@ class NewRecModel(nn.Module):
             cfg.hidden_units * 2, cfg.hidden_units,
             cfg.input_units1 + cfg.input_units2, name="embed_layer",
         )
+        if cfg.fs_emb:
+            # few-shot adapter after the popularity embed (model.py:43-49);
+            # applied on the sequence path only (model.py:99-101), not on
+            # candidate features
+            self.fs_layer = InitFeedForward(
+                cfg.hidden_units * 2, cfg.hidden_units, cfg.hidden_units,
+                name="fs_layer",
+            )
         if cfg.no_fixed_emb:
             self.pos_emb = torch_embed(cfg.maxlen, cfg.hidden_units, "pos_emb")
         if cfg.time_embed and cfg.time_no_fixed_embed:
@@ -210,6 +218,8 @@ class NewRecModel(nn.Module):
     def encode(self, seq_feats, pad_mask, time_embed_ids=None, *, train: bool = False):
         cfg = self.config
         seqs = self.embed_layer(seq_feats)
+        if cfg.fs_emb:
+            seqs = self.fs_layer(seqs)
         t = seqs.shape[1]
         if cfg.no_fixed_emb:
             seqs = seqs + self.pos_emb(jnp.arange(t))[None]

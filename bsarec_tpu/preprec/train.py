@@ -198,7 +198,13 @@ class PrepRecTrainer:
                 pos_l, neg_l = model.apply(
                     {"params": p}, seq, pos, neg, train=True, rngs={"dropout": dkey}
                 )
-                return masked_pair_bce(pos_l, neg_l, (pos != 0).astype(jnp.float32))
+                loss = masked_pair_bce(pos_l, neg_l, (pos != 0).astype(jnp.float32))
+                if tcfg.l2_emb:
+                    # torch.norm(item_emb) per parameter: Frobenius norm,
+                    # not squared (repo-b/train_test.py:58-59)
+                    emb = p["item_emb"]["embedding"]
+                    loss = loss + tcfg.l2_emb * jnp.sqrt(jnp.sum(emb * emb))
+                return loss
 
             return loss_fn
 
@@ -345,6 +351,14 @@ class PrepRecTrainer:
             )
         return float(loss)
 
+    def _eval_batch(self) -> int:
+        """Configured eval scoring batch (`--eval_batch_size`); 0 picks
+        the memory-safe default per eval method (full-catalog scoring
+        materializes [batch, itemnum] tiles)."""
+        if self.tcfg.eval_batch_size > 0:
+            return self.tcfg.eval_batch_size
+        return 64 if self.cfg.eval_method != 3 else 8
+
     def _eval(self, mode: str):
         if mode not in self._eval_arrays:
             inputs = build_eval_inputs(self.ds, self.cfg, mode, self.usernegs)
@@ -353,7 +367,7 @@ class PrepRecTrainer:
                 for k in ("seqs", "t1", "t2", "te", "cands", "cand_t1", "cand_t2", "users")
             }
         if self._eval_fn is None:
-            batch = 64 if self.cfg.eval_method != 3 else 8
+            batch = self._eval_batch()
             self._eval_fn, _ = make_eval_fn(
                 self.model, self.cfg, self.pop_enc, self.eval_pop, batch, self.ds.usernum
             )
@@ -374,7 +388,7 @@ class PrepRecTrainer:
         if mode not in self._eval_arrays:
             self._eval(mode)  # builds arrays (ranks discarded)
         if self._score_fn is None:  # cache: compiles are expensive here
-            batch = 64 if self.cfg.eval_method != 3 else 8
+            batch = self._eval_batch()
             self._score_fn, _ = make_eval_fn(
                 self.model, self.cfg, self.pop_enc, self.eval_pop, batch,
                 self.ds.usernum, return_scores=True,
@@ -436,6 +450,9 @@ class PrepRecTrainer:
         cfg, tcfg = self.cfg, self.tcfg
         best_ndcg, best_params, stop = 0.0, self.params, 0
         mode = "valid" if not cfg.sparse or cfg.override_sparse else "test"
+        if tcfg.first_eval:  # repo-b/train_test.py:29-33
+            m0, _ = self.evaluate(mode, userpop)
+            self.logger.info(f"pre-train {mode}: {m0}")
         for epoch in range(1, tcfg.num_epochs + 1):
             t0 = time.time()
             loss = self.train_epoch()
@@ -465,7 +482,10 @@ class PrepRecTrainer:
                 break
         if best_ndcg > 0:
             ckpt.save_params(best_params, os.path.join(self.write_dir, "best.ckpt"))
-            self.params = best_params
+            if not tcfg.state_override:  # repo-b/train_test.py:290-293
+                self.params = best_params
+        if tcfg.train_only:  # repo-b/train_test.py:284
+            return None, None
         metrics, ranks = self.evaluate("test", userpop)
         for (ndcg, hr), k in zip(metrics, cfg.topk):
             self.logger.info(f"Test NDCG@{k}: {ndcg}, HR@{k}: {hr}")
@@ -476,6 +496,37 @@ class PrepRecTrainer:
         """Load weights trained on another domain. Popularity tables and
         fixed positional tables are not parameters in this design, so a
         checkpoint transfers as-is (reference drops those buffers
-        explicitly, `repo-b/main.py:158-160`)."""
-        self.params = ckpt.load_params(self.params, path)
+        explicitly, `repo-b/main.py:158-160`). Loading is PARTIAL, like
+        the reference's `model_dict.update(loaded)` (`repo-b/main.py:161-163`):
+        params absent from the checkpoint (e.g. a fresh fs_layer) keep
+        their init values. With `fs_emb`, everything except the few-shot
+        adapter then freezes (`repo-b/main.py:164-170`)."""
+        import flax
+
+        with open(path, "rb") as fh:
+            raw = flax.serialization.msgpack_restore(fh.read())
+
+        def merge(tpl, new):
+            if isinstance(tpl, dict):
+                return {
+                    k: merge(v, new[k]) if k in new else v
+                    for k, v in tpl.items()
+                }
+            assert tpl.shape == new.shape, (tpl.shape, new.shape)
+            return jnp.asarray(new, tpl.dtype)
+
+        self.params = merge(self.params, raw)
+        if self.cfg.fs_emb:
+            def frozen(path, _):
+                return not any(
+                    str(getattr(k, "key", k)) == "fs_layer" for k in path
+                )
+
+            not_fs = jax.tree_util.tree_map_with_path(frozen, self.params)
+            # zero the FINAL updates of frozen params (weight decay
+            # included), matching requires_grad=False semantics
+            self.tx = optax.chain(
+                self.tx, optax.masked(optax.set_to_zero(), not_fs)
+            )
+            self._epoch_fn = self._build_epoch_fn()
         self.opt_state = self.tx.init(self.params)

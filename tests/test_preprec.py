@@ -320,3 +320,105 @@ def test_dual_dataset_training(synth_dataset, tmp_path):
     same = jax.tree.map(lambda a, b: np.allclose(a, b), t1.params, t2.params)
     assert all(jax.tree.leaves(same))
     assert not np.allclose(before, jax.tree.leaves(t1.params)[0])
+
+
+def test_fs_emb_adapter_and_freeze(synth_dataset, tmp_path):
+    """--fs_emb: the few-shot adapter exists, and after a transfer load
+    only fs_layer trains (repo-b/main.py:164-170, model.py:43-49)."""
+    prefix, _ = synth_dataset
+    ds, cfg, pop, negs = _make_cfg(prefix, "newrec")
+    tcfg = PrepRecTrainConfig(batch_size=16, num_epochs=1, epoch_test=1, seed=4)
+    src = PrepRecTrainer(cfg, tcfg, ds, _logger(), str(tmp_path / "src"),
+                         pop_enc=pop, usernegs=negs)
+    src.train_epoch()
+    from bsarec_tpu.train.checkpoint import save_params
+    save_params(src.params, tmp_path / "src" / "best.ckpt")
+
+    fs_cfg = cfg.replace(fs_emb=True)
+    tgt = PrepRecTrainer(fs_cfg, tcfg, ds, _logger(), str(tmp_path / "tgt"),
+                         pop_enc=pop, usernegs=negs)
+    assert "fs_layer" in tgt.params
+    tgt.load_transfer(str(tmp_path / "src" / "best.ckpt"))
+    before = jax.tree.map(np.asarray, tgt.params)
+    tgt.train_epoch()
+    after = tgt.params
+    for name in before:
+        changed = not all(
+            jax.tree.leaves(jax.tree.map(np.allclose, before[name], after[name]))
+        )
+        assert changed == (name == "fs_layer"), name
+
+
+def test_sasrec_l2_emb_changes_loss(synth_dataset, tmp_path):
+    prefix, _ = synth_dataset
+    ds, cfg, pop, negs = _make_cfg(prefix, "sasrec")
+    base = PrepRecTrainConfig(batch_size=16, num_epochs=1, epoch_test=1, seed=5)
+    import dataclasses
+    reg = dataclasses.replace(base, l2_emb=0.1)
+    t0 = PrepRecTrainer(cfg, base, ds, _logger(), str(tmp_path / "a"), usernegs=negs)
+    t1 = PrepRecTrainer(cfg, reg, ds, _logger(), str(tmp_path / "b"), usernegs=negs)
+    l0, l1 = t0.train_epoch(), t1.train_epoch()
+    emb = np.asarray(t0.params["item_emb"]["embedding"])
+    assert l1 > l0  # the norm term is strictly positive
+    assert l1 - l0 == pytest.approx(0.1 * np.linalg.norm(emb), rel=0.5)
+
+
+def test_fit_train_only_and_state_override(synth_dataset, tmp_path):
+    prefix, _ = synth_dataset
+    ds, cfg, pop, negs = _make_cfg(prefix, "newrec")
+    import dataclasses
+    tcfg = PrepRecTrainConfig(
+        batch_size=16, num_epochs=1, epoch_test=1, seed=6,
+        train_only=True, first_eval=True,
+    )
+    t = PrepRecTrainer(cfg, tcfg, ds, _logger(), str(tmp_path / "t"),
+                       pop_enc=pop, usernegs=negs)
+    metrics, ranks = t.fit()
+    assert metrics is None and ranks is None  # no final test ran
+
+    so = dataclasses.replace(tcfg, train_only=False, state_override=True)
+    t2 = PrepRecTrainer(cfg, so, ds, _logger(), str(tmp_path / "t2"),
+                        pop_enc=pop, usernegs=negs)
+    params_before_fit_end = t2.params
+    metrics2, _ = t2.fit()
+    assert metrics2 is not None
+
+
+def test_preprec_cli_accepts_reference_flag_surface():
+    """Every flag in repo-b/parse.py:3-86 parses (implemented, derived,
+    or documented no-op) — the drop-in CLI contract."""
+    from bsarec_tpu.preprec.main import parse
+
+    argv = [
+        "--dataset", "x/y", "--train_dir", "t", "--batch_size", "8",
+        "--lr", "0.01", "--wd", "1e-5", "--maxlen", "16",
+        "--hidden_units", "8", "--num_blocks", "1", "--num_epochs", "2",
+        "--epoch_test", "1", "--stop_early", "2", "--num_heads", "1",
+        "--dropout_rate", "0.1", "--l2_emb", "0.1", "--device", "cuda",
+        "--train_only", "--inference_only", "--save_neg", "--first_eval",
+        "--mode", "valid", "--prev_time", "--no_valid_in_test",
+        "--state_dict_path", "p.ckpt", "--model", "newrec",
+        "--monthpop", "wtembed", "--weekpop", "week_embed2",
+        "--use_week_eval", "--week_eval_pop", "week_wt_embed_adj",
+        "--rawpop", "rawpop", "--userpop", "lastuserpop",
+        "--userneg", "userneg", "--base_dim1", "11",
+        "--input_units1", "132", "--base_dim2", "6", "--input_units2", "6",
+        "--mask_prob", "0.2", "--seed", "1", "--topk", "10", "5", "1",
+        "--augment", "--augfulllen", "0", "--transfer", "--fs_transfer",
+        "--fs_num_epochs", "3", "--fs_prop", "0.5", "--loss_size", "10",
+        "--max_split_size", "128.0", "--no_emb", "--no_fixed_emb",
+        "--eval_method", "3", "--eval_quality", "--quality_size", "20",
+        "--triplet_loss", "--cos_loss", "--reg_file", "userhist",
+        "--reg_num", "5", "--reg_coef", "0.5", "--only_reg",
+        "--dataset2", "a/b", "--lag", "2", "--time_embed",
+        "--time_no_fixed_embed", "--time_embed_concat", "--save_scores",
+        "--use_scores", "--not_rank_scores", "--use_score_dir", "d",
+        "--alphas", "0.3", "0.7", "--sparse", "--override_sparse",
+        "--sparse_name", "sparse_", "--save_ranks", "--ranks_name", "r",
+        "--save_emb", "--label", "z", "--fs_emb", "--time_df_mod", "_m",
+        "--aug_coef", "0.2", "--state_override",
+    ]
+    args = parse(argv)
+    assert args.l2_emb == 0.1 and args.fs_num_epochs == 3
+    assert args.export_user_embed  # --save_emb alias
+    assert args.sparse_name == "sparse_" and args.time_df_mod == "_m"
