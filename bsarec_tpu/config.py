@@ -80,3 +80,9 @@ class TrainConfig:
     # data axis; "data:N,model:M" = explicit 2-D mesh (model shards the
     # item table rows / logit columns). See core/mesh.py.
     mesh: str = ""
+    # host-fed input pipeline (data/multihost.py): the training set stays
+    # on host (each process reads only its slice of every global batch)
+    # instead of living in HBM for the whole run; the global batch
+    # schedule is bit-equal to the HBM-resident scan's. Required on
+    # multi-host slices where no single host holds the full dataset.
+    multihost: bool = False

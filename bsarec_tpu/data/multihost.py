@@ -114,8 +114,25 @@ class HostShardedDataset:
         rng = np.random.default_rng((self.seed, epoch))
         perm = rng.permutation(self.n_rows)
         steps = self.n_rows // self.batch_size
+        yield from self.epoch_batches_from_perm(
+            perm[: steps * self.batch_size]
+        )
+
+    def epoch_batches_from_perm(self, perm: np.ndarray):
+        """Local slices of an externally supplied global batch schedule.
+
+        `perm` must be a multiple of the global batch size — pad it by
+        wrapping (`perm + perm[:padded - n]`) to reproduce the on-device
+        scan's padded schedule exactly, making the multi-host run's
+        global batch sequence bit-equal to the single-host run
+        (the Trainer's `--multihost` path does this)."""
+        if len(perm) % self.batch_size:
+            raise ValueError(
+                f"schedule length {len(perm)} not a multiple of the "
+                f"global batch size {self.batch_size}"
+            )
         p = jax.process_index()
-        for s in range(steps):
+        for s in range(len(perm) // self.batch_size):
             rows = perm[s * self.batch_size : (s + 1) * self.batch_size]
             mine = rows[p * self.local_batch : (p + 1) * self.local_batch]
             yield {k: v[mine] for k, v in self.fields.items()}

@@ -51,6 +51,11 @@ def parse_args(argv=None):
         help='device mesh: "" (single), "auto", or "data:N,model:M"',
     )
     parser.add_argument(
+        "--multihost", action="store_true",
+        help="host-fed input pipeline (training set stays on host; "
+        "required when no single host holds the full dataset)",
+    )
+    parser.add_argument(
         "--eval_impl", default="auto", type=str,
         help='full-catalog eval path: auto | dense | streaming',
     )
@@ -140,6 +145,7 @@ def configs_from_args(args, item_size: int, num_users: int):
         log_freq=args.log_freq,
         eval_impl=getattr(args, "eval_impl", "auto"),
         mesh=getattr(args, "mesh", ""),
+        multihost=getattr(args, "multihost", False),
     )
     return model_cfg, train_cfg
 

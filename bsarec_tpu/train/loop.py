@@ -142,6 +142,51 @@ def build_train_epoch(model, tx, item_size: int, batch_size: int, num_samples: i
     return jax.jit(epoch, donate_argnums=(0, 1)), steps
 
 
+def build_train_step(model, tx, item_size: int, with_sem: bool, mesh=None):
+    """Single jitted optimizer step for host-fed batches (`--multihost`,
+    `data/multihost.py:HostShardedDataset`).
+
+    Mirrors `build_train_epoch`'s scan body exactly — same key split
+    (step_key -> neg/dropout), same negative sampling, same update — so
+    that at process_count=1 the host-fed epoch reproduces the
+    HBM-resident scan's loss trajectory (pinned by
+    tests/test_multihost.py). `batch` needs input_ids/answers/user_ids
+    (+ same_target when with_sem)."""
+
+    def loss_fn(params, batch, dropout_key):
+        return model.apply(
+            {"params": params},
+            batch["input_ids"],
+            batch["answers"],
+            batch["neg_answers"],
+            batch["same_target"],
+            batch["user_ids"],
+            train=True,
+            method="calculate_loss",
+            rngs={"dropout": dropout_key},
+        )
+
+    grad_fn = jax.value_and_grad(loss_fn)
+
+    def step(params, opt_state, step_key, batch):
+        neg_key, drop_key = jax.random.split(step_key)
+        batch = dict(batch)
+        if not with_sem:
+            batch["same_target"] = jnp.zeros(
+                (batch["input_ids"].shape[0], 0), jnp.int32
+            )
+        batch["neg_answers"] = sample_negatives(
+            neg_key, batch["input_ids"], batch["answers"], item_size
+        )
+        batch = _data_constraint(batch, mesh)
+        loss, grads = grad_fn(params, batch, drop_key)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
 # Above this catalog size (and on TPU) eval switches from the dense
 # [B, V] score materialization to the streaming Pallas rank kernel.
 STREAMING_RANK_MIN_VOCAB = 262_144

@@ -111,21 +111,50 @@ class Trainer:
         n_params = sum(x.size for x in jax.tree.leaves(self.params))
         logger.info(f"Total Parameters: {n_params}")
 
-        # datasets live in HBM for the whole run
-        self._train_dev = {
-            "inputs": jnp.asarray(data.train.input_ids),
-            "answers": jnp.asarray(data.train.answers),
-            "users": jnp.asarray(data.train.user_ids),
-        }
-        self._epoch_fn, self.steps_per_epoch = build_train_epoch(
-            self.model,
-            self.tx,
-            model_cfg.item_size,
-            train_cfg.batch_size,
-            data.train.num_samples,
-            self.with_sem,
-            mesh=self.mesh,
+        import math as _math
+
+        self.steps_per_epoch = _math.ceil(
+            data.train.num_samples / train_cfg.batch_size
         )
+        if train_cfg.multihost:
+            # host-fed pipeline: the training set never materializes in
+            # HBM; each step's global batch assembles from per-process
+            # slices (data/multihost.py). Schedule is bit-equal to the
+            # scan path's (same PRNG stream, same wrap-padding).
+            from bsarec_tpu.data.multihost import HostShardedDataset
+            from bsarec_tpu.train.loop import build_train_step
+
+            self._host_ds = HostShardedDataset(
+                {
+                    "input_ids": data.train.input_ids,
+                    "answers": data.train.answers,
+                    "user_ids": data.train.user_ids,
+                },
+                train_cfg.batch_size,
+                train_cfg.seed,
+            )
+            self._step_fn = build_train_step(
+                self.model, self.tx, model_cfg.item_size, self.with_sem,
+                mesh=self.mesh,
+            )
+            self._train_dev = None
+            self._epoch_fn = None
+        else:
+            # datasets live in HBM for the whole run
+            self._train_dev = {
+                "inputs": jnp.asarray(data.train.input_ids),
+                "answers": jnp.asarray(data.train.answers),
+                "users": jnp.asarray(data.train.user_ids),
+            }
+            self._epoch_fn, self.steps_per_epoch = build_train_epoch(
+                self.model,
+                self.tx,
+                model_cfg.item_size,
+                train_cfg.batch_size,
+                data.train.num_samples,
+                self.with_sem,
+                mesh=self.mesh,
+            )
         self._eval_fn, _, self.eval_impl = build_eval_fn(
             self.model,
             model_cfg.item_size,
@@ -187,8 +216,46 @@ class Trainer:
         shardings = jax.tree_util.tree_map_with_path(placement, params)
         return jax.tree.map(jax.device_put, params, shardings)
 
+    def _train_multihost(self, epoch: int) -> float:
+        """One epoch through the host-fed pipeline. The PRNG stream
+        (epoch key -> perm_key + step fold_ins) replays
+        `train/loop.py:build_train_epoch`'s exactly, so the loss
+        trajectory matches the HBM-resident scan at process_count=1."""
+        from bsarec_tpu.data.multihost import global_batch
+
+        key, self.rng = jax.random.split(self.rng)
+        if self.with_sem:
+            self._host_ds.fields["same_target"] = np.asarray(
+                self.data.sample_same_target(self.np_rng)
+            )
+        perm_key, key = jax.random.split(key)
+        n = self.data.train.num_samples
+        perm = np.asarray(jax.random.permutation(perm_key, n))
+        padded = self.steps_per_epoch * self.train_cfg.batch_size
+        if padded != n:
+            perm = np.concatenate([perm, perm[: padded - n]])
+        loss_sum = None
+        for s, local in enumerate(self._host_ds.epoch_batches_from_perm(perm)):
+            if self.mesh is not None:
+                batch = global_batch(
+                    local, self.mesh, self.train_cfg.batch_size
+                )
+            else:
+                batch = {k: jnp.asarray(v) for k, v in local.items()}
+            step_key = jax.random.fold_in(key, s)
+            self.params, self.opt_state, loss = self._step_fn(
+                self.params, self.opt_state, step_key, batch
+            )
+            loss_sum = loss if loss_sum is None else loss_sum + loss
+        loss = float(loss_sum) / self.steps_per_epoch
+        if (epoch + 1) % self.train_cfg.log_freq == 0:
+            self.logger.info(str({"epoch": epoch, "rec_loss": f"{loss:.4f}"}))
+        return loss
+
     # ---- reference-API surface -----------------------------------------
     def train(self, epoch: int) -> float:
+        if self.train_cfg.multihost:
+            return self._train_multihost(epoch)
         key, self.rng = jax.random.split(self.rng)
         if self.with_sem:
             sem = jnp.asarray(self.data.sample_same_target(self.np_rng))

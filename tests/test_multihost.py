@@ -47,3 +47,46 @@ def test_host_sharded_dataset_schedule_deterministic():
     # different epochs shuffle differently
     c = [bb["x"].copy() for bb in ds.epoch_batches(epoch=4)]
     assert any((xa != xc).any() for xa, xc in zip(a, c))
+
+
+def test_multihost_trainer_matches_hbm_resident_path(tmp_path):
+    """--multihost (host-fed step loop) must reproduce the HBM-resident
+    scan's loss trajectory AND eval metrics: same PRNG stream, same
+    wrap-padded batch schedule (VERDICT round-1 item 6)."""
+    import dataclasses
+    import logging
+
+    from bsarec_tpu.config import ModelConfig, TrainConfig
+    from bsarec_tpu.train.trainer import Trainer
+    from tests.test_train import _quiet_logger, synthetic_corpus
+    from bsarec_tpu.data.pipeline import SeqRecData
+
+    corpus = synthetic_corpus(n_items=31)
+    data = SeqRecData(corpus, max_len=10)
+    model_cfg = ModelConfig(
+        model_type="bsarec", item_size=corpus.item_size,
+        num_users=corpus.num_users + 1, max_seq_length=10, hidden_size=16,
+        num_hidden_layers=1, num_attention_heads=1,
+        hidden_dropout_prob=0.1, attention_probs_dropout_prob=0.1,
+        c=3, alpha=0.7,
+    )
+    base = TrainConfig(lr=0.01, batch_size=32, epochs=2, seed=7, log_freq=100)
+    ref = Trainer(model_cfg, base, data, _quiet_logger(), str(tmp_path / "r.ckpt"))
+    losses_ref = [ref.train(e) for e in range(2)]
+
+    mh_cfg = dataclasses.replace(base, multihost=True)
+    mh = Trainer(model_cfg, mh_cfg, data, _quiet_logger(), str(tmp_path / "h.ckpt"))
+    assert mh._train_dev is None  # the training set never entered HBM
+    losses_mh = [mh.train(e) for e in range(2)]
+    np.testing.assert_allclose(losses_mh, losses_ref, rtol=1e-6)
+
+    ms, _ = ref.valid(0)
+    mm, _ = mh.valid(0)
+    np.testing.assert_allclose(np.asarray(mm), np.asarray(ms), atol=1e-6)
+
+    # and composed with a mesh: global batches assemble through
+    # make_array_from_process_local_data and shard over the data axis
+    mesh_cfg = dataclasses.replace(base, multihost=True, mesh="data:4,model:2")
+    mhm = Trainer(model_cfg, mesh_cfg, data, _quiet_logger(), str(tmp_path / "hm.ckpt"))
+    losses_mhm = [mhm.train(e) for e in range(2)]
+    np.testing.assert_allclose(losses_mhm, losses_ref, rtol=2e-4)
