@@ -192,3 +192,59 @@ def process_dataset(data_name: str, raw_path: str, out_path: str,
     mapped, n_users, n_items, _ = id_map(user_items)
     write_corpus(mapped, out_path)
     return corpus_stats(mapped)
+
+
+# ---- CLI orchestration (reference: `src/data/process/process.sh`) -----------
+
+# raw-source URLs the reference's `_download.sh` fetches; this environment
+# has no network, so acquisition stays manual — drop the files into
+# --raw_dir with these names:
+RAW_SOURCES = {
+    "Beauty": ("reviews_Beauty_5.json",
+               "https://snap.stanford.edu/data/amazon/productGraph/categoryFiles/"),
+    "Toys_and_Games": ("reviews_Toys_and_Games_5.json", "(same host)"),
+    "Sports_and_Outdoors": ("reviews_Sports_and_Outdoors_5.json", "(same host)"),
+    "ML-1M": ("ratings.dat", "https://files.grouplens.org/datasets/movielens/ml-1m.zip"),
+    "Yelp": ("yelp_academic_dataset_review.json", "https://www.yelp.com/dataset"),
+    "LastFM": ("user_taggedartists-timestamps.dat",
+               "https://files.grouplens.org/datasets/hetrec2011/hetrec2011-lastfm-2k.zip"),
+}
+
+
+def main(argv=None):
+    """`python -m bsarec_tpu.data.preprocess --dataset Beauty --raw_dir raw/
+    --out_dir data/` — parse -> K-core -> id map -> corpus .txt, the
+    offline half of the reference's `process.sh` (`--dataset all` loops
+    every known dataset whose raw file is present)."""
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset", required=True,
+                   help="|".join(PARSERS) + " | all")
+    p.add_argument("--raw_dir", default="raw")
+    p.add_argument("--out_dir", default="data")
+    p.add_argument("--user_core", type=int, default=5)
+    p.add_argument("--item_core", type=int, default=5)
+    args = p.parse_args(argv)
+
+    names = list(PARSERS) if args.dataset == "all" else [args.dataset]
+    out_dir = Path(args.out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    results = {}
+    for name in names:
+        raw_name, source = RAW_SOURCES[name]
+        raw = Path(args.raw_dir) / raw_name
+        if not raw.exists():
+            print(f"{name}: missing raw file {raw} (download from {source})")
+            continue
+        stats = process_dataset(
+            name, str(raw), str(out_dir / f"{name}.txt"),
+            args.user_core, args.item_core,
+        )
+        print(f"{name}: {stats}")
+        results[name] = stats
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -26,10 +26,13 @@ Hard-won implementation rules (measured on v5e, 1M-item catalog):
    soon as a kernel has more than one grid-invariant VMEM operand —
    and these kernels need several (states + answers/logZ/dloss). So
    the table stays in HBM and tiles are DMA'd into two whole-buffer
-   VMEM scratches inside an unroll-by-2 `fori_loop`. Measured on v5e
-   (1M x 64 f32 catalog, B=256): 3.5 ms forward, 9.4 ms fwd+bwd — the
-   sweeps are VPU-pass-bound (~10 elementwise passes over B x V at
-   ~1e12 elem/s), roughly 4x above the pure HBM-read bound.
+   VMEM scratches inside an unroll-by-2 `fori_loop`. The backward is
+   ONE fused sweep producing both gradients (round 1 ran two: one per
+   gradient — 2 table reads + 2 softmax recomputes); the validity
+   compare/select runs only on the <= 2 tiles containing the n_valid
+   boundary (`j_clean` predication); with dtype="bfloat16" the tile
+   dots run at the MXU's bf16 rate. Current numbers: BASELINE.md
+   "streaming kernel" rows (re-measured per round).
 
 2. NO host-side gathers: `table[answers]` on a 1M-row table costs
    ~4.5 ms in XLA (latency-bound row DMAs). The gold logit is instead
@@ -88,7 +91,7 @@ def _s_shifted(s, h, pack):
     bt = s.shape[0]
     if pack == 1:
         return [s]
-    zero = jnp.zeros((bt, h), jnp.float32)
+    zero = jnp.zeros((bt, h), s.dtype)
     return [
         jnp.concatenate([zero] * k + [s] + [zero] * (pack - 1 - k), axis=1)
         for k in range(pack)
@@ -135,21 +138,103 @@ def _sweep(t_hbm, tbuf0, tbuf1, sem, nj, rows, step_fn):
 
 
 # --------------------------------------------------------------------------
-# forward: per-row (loss, logZ) in one streaming sweep
+# gold-row gather: the answers' table rows via an auto-pipelined
+# [1, 128]-block gather (grid index = scalar-prefetched packed row id).
+# XLA's own `table[answers]` costs ~4.5 ms on a 1M-row table; keeping
+# the gold compare in the main sweeps costs ~3 VPU passes over B x V.
+# This kernel does it in ~b pipelined row DMAs instead.
 # --------------------------------------------------------------------------
 
 
-def _fwd_kernel(n_valid, vt, nj, h, pack, s_ref, a_ref, t_hbm, loss_ref, z_ref,
-                tbuf0, tbuf1, sem, m_sc, s_sc, g_sc):
+RING = 8  # in-flight row DMAs in the gather (hides per-DMA latency)
+
+
+def _gather_kernel(nring, idx_ref, t_hbm, out_ref, sem):
+    b = out_ref.shape[0] // 8
+
+    def dma(i):
+        r0 = (idx_ref[i] // 8) * 8  # HBM tiling: slices must align to 8 rows
+        return pltpu.make_async_copy(
+            t_hbm.at[pl.ds(r0, 8), :], out_ref.at[pl.ds(8 * i, 8), :],
+            sem.at[i % nring],
+        )
+
+    for k in range(nring):
+        dma(k).start()
+
+    def body(i, _):
+        dma(i).wait()
+
+        @pl.when(i + nring < b)
+        def _():
+            dma(i + nring).start()
+
+        return 0
+
+    jax.lax.fori_loop(0, b, body, 0)
+
+
+def _gather_rows(table2, idx, interpret):
+    """table2: [R, lanes]; idx: [b] int32 packed-row ids (pre-clipped).
+    Returns [b, lanes] rows.
+
+    Ring of manual [8, lanes] DMAs of the aligned block around each row
+    (HBM tiling requires 8-row-aligned slices; a (1, 128)-block
+    auto-pipelined gather is likewise rejected, and XLA's own gather
+    costs ms — see header), then a [b, 8]-select picks the row."""
+    b = idx.shape[0]
+    lanes = table2.shape[1]
+    nring = min(RING, b)
+    blocks = pl.pallas_call(
+        functools.partial(_gather_kernel, nring),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((nring,))],
+        out_shape=jax.ShapeDtypeStruct((8 * b, lanes), table2.dtype),
+        interpret=interpret,
+    )(idx, table2)
+    win = blocks.reshape(b, 8, lanes)
+    return jnp.take_along_axis(
+        win, (idx % 8)[:, None, None].astype(jnp.int32), axis=1
+    )[:, 0]
+
+
+def _gold_rows(table2, answers, h, pack, interpret):
+    """[b, h] f32 table rows of `answers` (clipped; callers mask a < 0)."""
+    r_total = table2.shape[0]
+    idx = jnp.clip(answers // pack, 0, r_total - 1).astype(jnp.int32)
+    rows = _gather_rows(table2, idx, interpret).astype(jnp.float32)
+    if pack == 1:
+        return rows
+    win = rows.reshape(rows.shape[0], pack, h)
+    k = jnp.clip(answers, 0, None) % pack
+    return jnp.take_along_axis(win, k[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+
+
+# --------------------------------------------------------------------------
+# forward: per-row logZ in one streaming sweep (gold handled outside)
+# --------------------------------------------------------------------------
+
+
+def _fwd_kernel(n_valid, vt, nj, h, pack, cdt, s_ref, t_hbm, z_ref,
+                tbuf0, tbuf1, sem, m_sc, s_sc):
     bt = s_ref.shape[0]
     rows = vt // pack
+    # tiles strictly below j_clean contain no column >= n_valid, so they
+    # skip the iota + validity compare/select entirely (the boundary +
+    # padding tiles — at most the last two — take the masked branch);
+    # with the gold logit gathered outside the sweep, a clean tile is
+    # just dot -> max -> exp -> sum
+    j_clean = n_valid // vt
     m_sc[:] = jnp.full_like(m_sc, NEG_INF)
     s_sc[:] = jnp.zeros_like(s_sc)
-    g_sc[:] = jnp.zeros_like(g_sc)
-    s_k = _s_shifted(s_ref[:], h, pack)
-    a = _narrow(a_ref[:])
+    s_k = _s_shifted(s_ref[:].astype(cdt), h, pack)
 
-    def step(j, tile):
+    def tile_update(j, tile, mask_nv: bool):
+        tile = tile.astype(cdt)
         m_old = _narrow(m_sc[:])
         m_new = m_old
         parts = []
@@ -158,138 +243,139 @@ def _fwd_kernel(n_valid, vt, nj, h, pack, s_ref, a_ref, t_hbm, loss_ref, z_ref,
                 s_k[k], tile, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            cols = (
-                j * vt
-                + pack * jax.lax.broadcasted_iota(jnp.int32, (bt, rows), 1)
-                + k
-            )
-            logits = jnp.where(cols < n_valid, logits, NEG_INF)
-            parts.append((logits, cols))
+            if mask_nv:
+                cols = (
+                    j * vt
+                    + pack * jax.lax.broadcasted_iota(jnp.int32, (bt, rows), 1)
+                    + k
+                )
+                logits = jnp.where(cols < n_valid, logits, NEG_INF)
+            parts.append(logits)
             m_new = jnp.maximum(m_new, jnp.max(logits, axis=-1, keepdims=True))
         scale = jnp.exp(m_old - m_new)  # exp(-inf - m) = 0 on the first tile
         s_new = _narrow(s_sc[:]) * scale
-        g_new = _narrow(g_sc[:])
-        for logits, cols in parts:
+        for logits in parts:
             s_new = s_new + jnp.sum(jnp.exp(logits - m_new), axis=-1, keepdims=True)
-            g_new = g_new + jnp.sum(
-                jnp.where(cols == a, logits, 0.0), axis=-1, keepdims=True
-            )
         m_sc[:] = jnp.broadcast_to(m_new, m_sc.shape)
         s_sc[:] = jnp.broadcast_to(s_new, s_sc.shape)
-        g_sc[:] = jnp.broadcast_to(g_new, g_sc.shape)
+
+    def step(j, tile):
+        @pl.when(j < j_clean)
+        def _():
+            tile_update(j, tile, False)
+
+        @pl.when(j >= j_clean)
+        def _():
+            tile_update(j, tile, True)
 
     _sweep(t_hbm, tbuf0, tbuf1, sem, nj, rows, step)
     logz = jnp.log(_narrow(s_sc[:])) + _narrow(m_sc[:])
-    loss_ref[:] = jnp.broadcast_to(logz - _narrow(g_sc[:]), loss_ref.shape)
     z_ref[:] = jnp.broadcast_to(logz, z_ref.shape)
 
 
-def _run_fwd(states, table2, a128, n_valid, bt, vt, h, pack, interpret):
+def _run_fwd(states, table2, a128, n_valid, bt, vt, h, pack, cdt, interpret):
     b = states.shape[0]
     lanes = table2.shape[1]  # = h * pack
     nj = table2.shape[0] // (vt // pack)
     wide = pl.BlockSpec((bt, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    loss, logz = pl.pallas_call(
-        functools.partial(_fwd_kernel, n_valid, vt, nj, h, pack),
+    logz = pl.pallas_call(
+        functools.partial(_fwd_kernel, n_valid, vt, nj, h, pack, cdt),
         grid=(b // bt,),
         in_specs=[
             pl.BlockSpec((bt, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            wide,
             pl.BlockSpec(memory_space=pltpu.HBM),  # packed table stays in HBM
         ],
-        out_specs=(wide, wide),
+        out_specs=wide,
         scratch_shapes=[
-            pltpu.VMEM((vt // pack, lanes), jnp.float32),
-            pltpu.VMEM((vt // pack, lanes), jnp.float32),
+            pltpu.VMEM((vt // pack, lanes), table2.dtype),
+            pltpu.VMEM((vt // pack, lanes), table2.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((bt, LANES), jnp.float32),
             pltpu.VMEM((bt, LANES), jnp.float32),
-            pltpu.VMEM((bt, LANES), jnp.float32),
         ],
-        out_shape=(
-            jax.ShapeDtypeStruct((b, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((b, LANES), jnp.float32),
-        ),
+        out_shape=jax.ShapeDtypeStruct((b, LANES), jnp.float32),
         interpret=interpret,
-    )(states, a128, table2)
-    return loss[:, 0], logz[:, 0]
+    )(states, table2)
+    logz = logz[:, 0]
+    # gold = <s, T[a]> via the row gather; a < 0 (padded batch rows /
+    # off-shard answers in the sharded composition) contributes 0.
+    # Operands round to cdt first so gold matches the in-sweep logits'
+    # compute dtype (bf16 mode), with f32 accumulation like the MXU.
+    a = _narrow(a128)[:, 0]
+    gold_row = _gold_rows(table2, a, h, pack, interpret)
+    gold = jnp.sum(
+        gold_row.astype(cdt).astype(jnp.float32)
+        * states.astype(cdt).astype(jnp.float32),
+        axis=-1,
+    )
+    gold = jnp.where(a >= 0, gold, 0.0)
+    return logz - gold, logz
 
 
 # --------------------------------------------------------------------------
-# backward: two streaming sweeps recomputing tile logits
+# backward: ONE streaming sweep recomputing tile logits and producing
+# BOTH gradients (the table is read once, the softmax recompute is
+# shared — previously two sweeps cost 2 table reads + 2 recomputes)
 # --------------------------------------------------------------------------
 
 
-def _p_tile(n_valid, vt, pack, j, k, s_k, tile, a, z):
-    """Tile softmax-minus-onehot for interleave k: [bt, vt // pack]."""
+def _pd_tile(n_valid, vt, pack, j, k, s_k, tile, z, d, mask_nv: bool):
+    """softmax·dloss for interleave k: [bt, vt // pack]. The onehot
+    label subtraction happens OUTSIDE the sweep (a b-row correction,
+    not a B x V compare): ds -= d·T[a] and dt[a_i] -= d_i·s_i."""
     bt = s_k.shape[0]
     rows = vt // pack
     logits = jax.lax.dot_general(
         s_k, tile, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    cols = j * vt + pack * jax.lax.broadcasted_iota(jnp.int32, (bt, rows), 1) + k
-    p = jnp.where(cols < n_valid, jnp.exp(logits - z), 0.0)
-    return p - (cols == a).astype(jnp.float32)
+    p = jnp.exp(logits - z)
+    if mask_nv:
+        cols = (
+            j * vt + pack * jax.lax.broadcasted_iota(jnp.int32, (bt, rows), 1) + k
+        )
+        p = jnp.where(cols < n_valid, p, 0.0)
+    return p * d
 
 
-def _dstates_kernel(n_valid, vt, nj, h, pack, s_ref, a_ref, z_ref, d_ref, t_hbm,
-                    ds_ref, tbuf0, tbuf1, sem, acc):
-    rows = vt // pack
-    acc[:] = jnp.zeros_like(acc)
-    s_k = _s_shifted(s_ref[:], h, pack)
-    a = _narrow(a_ref[:])
-    z = _narrow(z_ref[:])
+def _grads_kernel(n_valid, vt, nj, h, pack, cdt, arow_ref, s_hbm, z_hbm,
+                  d_hbm, corr_hbm, t_hbm, ds_ref, dt_hbm, tbuf0, tbuf1, tsem,
+                  obuf0, obuf1, osem, s_vm, z_vm, d_vm, corr_vm, insem, acc,
+                  rmw_buf, rmw_sem):
+    """Full-manual fused pass: every operand is DMA'd; grid is trivial.
 
-    def step(j, tile):
-        # (p_k @ tile) lanes [k*h, (k+1)*h) hold Σ_r p_k[b,r]·T[pack·r+k];
-        # other lanes mix wrong rows and are masked off.
-        total = jnp.zeros_like(acc[:])
-        for k in range(pack):
-            p = _p_tile(n_valid, vt, pack, j, k, s_k[k], tile, a, z)
-            contrib = jnp.dot(p, tile, preferred_element_type=jnp.float32)
-            if pack > 1:
-                contrib = jnp.where(_lane_mask(k, h, contrib.shape), contrib, 0.0)
-            total = total + contrib
-        acc[:] += total
+    The whole (padded) batch fits in VMEM (B×H + 3·B·128 floats), so each
+    packed [rows, 128] table tile is visited once, its softmax·dloss
+    recomputed once, and both gradients fall out of two dots:
 
-    _sweep(t_hbm, tbuf0, tbuf1, sem, nj, rows, step)
-    folded = acc[:]
-    if pack > 1:
-        # sum the pack lane-groups into a [bt, h] gradient via a constant
-        # fold matrix F[k*h + c, c] = 1 (reshapes don't lower in Mosaic)
-        lanes = folded.shape[1]
-        fold = (
-            jax.lax.broadcasted_iota(jnp.int32, (lanes, h), 0) % h
-            == jax.lax.broadcasted_iota(jnp.int32, (lanes, h), 1)
-        ).astype(jnp.float32)
-        folded = jnp.dot(folded, fold, preferred_element_type=jnp.float32)
-    ds_ref[:] = folded * _narrow(d_ref[:])
+        dt_tile  = Σ_k pd_kᵀ @ s_k   (s_k's zero lanes route each
+                                      interleave into its own lane group)
+        ds      += Σ_k lane_mask_k(pd_k @ tile)
 
+    The onehot label term is NOT in the sweep (saves ~2 VPU passes over
+    B x V): after the sweep, a b-iteration read-modify-write loop
+    subtracts corr[i] = d_i·s_i from dt row arow[i] (ds gets its d·T[a]
+    correction outside the kernel, sharing the forward's row gather).
 
-def _dtable_kernel(n_valid, vt, nj, h, pack, s_hbm, a_hbm, z_hbm, d_hbm, t_hbm,
-                   dt_hbm, tbuf0, tbuf1, tsem, obuf0, obuf1, osem, s_vm, a_vm,
-                   z_vm, d_vm, insem):
-    """Full-manual pass: every operand is DMA'd; grid is trivial.
-
-    The whole (padded) batch fits in VMEM (B×H + 3·B·128 floats), so
-    each packed [rows, 128] gradient tile accumulates over the full
-    batch: dt_tile = Σ_k p_kᵀ @ s_k (s_k's zero lanes route each
-    interleave's gradient into its own lane group). Unroll-by-2 with
-    whole-buffer DMAs (see _sweep); nj must be even.
+    Unroll-by-2 with whole-buffer DMAs (see _sweep); nj must be even.
+    With a bf16 compute dtype the pd operand of both dots is rounded to
+    bf16 (f32 accumulation) — gradients then match a dense bf16-matmul
+    backward, not the f32 one.
     """
     rows = vt // pack
+    j_clean = n_valid // vt
+    b = s_vm.shape[0]
     copies = [
         pltpu.make_async_copy(s_hbm, s_vm, insem.at[0]),
-        pltpu.make_async_copy(a_hbm, a_vm, insem.at[1]),
-        pltpu.make_async_copy(z_hbm, z_vm, insem.at[2]),
-        pltpu.make_async_copy(d_hbm, d_vm, insem.at[3]),
+        pltpu.make_async_copy(z_hbm, z_vm, insem.at[1]),
+        pltpu.make_async_copy(d_hbm, d_vm, insem.at[2]),
+        pltpu.make_async_copy(corr_hbm, corr_vm, insem.at[3]),
     ]
     for c in copies:
         c.start()
     for c in copies:
         c.wait()
-    s_k = _s_shifted(s_vm[:], s_vm.shape[1], pack)
-    a = _narrow(a_vm[:])
+    acc[:] = jnp.zeros_like(acc)
+    s_k = _s_shifted(s_vm[:].astype(cdt), s_vm.shape[1], pack)
     z = _narrow(z_vm[:])
     d = _narrow(d_vm[:])
 
@@ -303,16 +389,36 @@ def _dtable_kernel(n_valid, vt, nj, h, pack, s_hbm, a_hbm, z_hbm, d_hbm, t_hbm,
             buf, dt_hbm.at[pl.ds(jj * rows, rows), :], osem.at[slot]
         )
 
-    def grad_tile(jj, tile):
+    def grad_tile(jj, raw_tile, mask_nv: bool):
+        tile = raw_tile.astype(cdt)
         out = None
+        total = jnp.zeros_like(acc[:])
         for k in range(pack):
-            p = _p_tile(n_valid, vt, pack, jj, k, s_k[k], tile, a, z) * d
+            pd = _pd_tile(n_valid, vt, pack, jj, k, s_k[k], tile, z, d,
+                          mask_nv).astype(cdt)
             contrib = jax.lax.dot_general(
-                p, s_k[k], (((0,), (0,)), ((), ())),
+                pd, s_k[k], (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             out = contrib if out is None else out + contrib
+            ds_c = jax.lax.dot_general(
+                pd, tile, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if pack > 1:
+                ds_c = jnp.where(_lane_mask(k, h, ds_c.shape), ds_c, 0.0)
+            total = total + ds_c
+        acc[:] += total
         return out
+
+    def grad_tile_pred(jj, raw_tile, obuf):
+        @pl.when(jj < j_clean)
+        def _():
+            obuf[:] = grad_tile(jj, raw_tile, False)
+
+        @pl.when(jj >= j_clean)
+        def _():
+            obuf[:] = grad_tile(jj, raw_tile, True)
 
     get_in(tbuf0, 0, 0).start()
 
@@ -326,7 +432,7 @@ def _dtable_kernel(n_valid, vt, nj, h, pack, s_hbm, a_hbm, z_hbm, d_hbm, t_hbm,
         def _():
             put_out(obuf0, 0, j0 - 2).wait()
 
-        obuf0[:] = grad_tile(j0, tbuf0[:])
+        grad_tile_pred(j0, tbuf0[:], obuf0)
         put_out(obuf0, 0, j0).start()
 
         @pl.when(j0 + 2 < nj)
@@ -339,7 +445,7 @@ def _dtable_kernel(n_valid, vt, nj, h, pack, s_hbm, a_hbm, z_hbm, d_hbm, t_hbm,
         def _():
             put_out(obuf1, 1, j0 - 1).wait()
 
-        obuf1[:] = grad_tile(j0 + 1, tbuf1[:])
+        grad_tile_pred(j0 + 1, tbuf1[:], obuf1)
         put_out(obuf1, 1, j0 + 1).start()
         return 0
 
@@ -347,57 +453,106 @@ def _dtable_kernel(n_valid, vt, nj, h, pack, s_hbm, a_hbm, z_hbm, d_hbm, t_hbm,
     put_out(obuf0, 0, nj - 2).wait()  # drain in-flight output DMAs
     put_out(obuf1, 1, nj - 1).wait()
 
+    # onehot correction: dt[arow[i]] -= corr[i], sequentially (duplicate
+    # answers must accumulate). ~b latency-bound [1, lanes] RMWs — far
+    # cheaper than the 2 compare/sub passes over B x V they replace.
+    def rmw(i, _):
+        r = arow_ref[i]
 
-def _run_bwd(states, table2, a128, logz, dloss, n_valid, bt, vt, h, pack, interpret):
+        @pl.when(r >= 0)
+        def _():
+            get = pltpu.make_async_copy(
+                dt_hbm.at[pl.ds(r, 1), :], rmw_buf, rmw_sem.at[0]
+            )
+            get.start()
+            get.wait()
+            rmw_buf[:] = rmw_buf[:] - corr_vm[pl.ds(i, 1), :]
+            put = pltpu.make_async_copy(
+                rmw_buf, dt_hbm.at[pl.ds(r, 1), :], rmw_sem.at[0]
+            )
+            put.start()
+            put.wait()
+
+        return 0
+
+    jax.lax.fori_loop(0, b, rmw, 0)
+
+    folded = acc[:]
+    if pack > 1:
+        # sum the pack lane-groups into a [b, h] gradient via a constant
+        # fold matrix F[k*h + c, c] = 1 (reshapes don't lower in Mosaic)
+        lanes = folded.shape[1]
+        fold = (
+            jax.lax.broadcasted_iota(jnp.int32, (lanes, h), 0) % h
+            == jax.lax.broadcasted_iota(jnp.int32, (lanes, h), 1)
+        ).astype(jnp.float32)
+        folded = jnp.dot(folded, fold, preferred_element_type=jnp.float32)
+    ds_ref[:] = folded[:, :h]
+
+
+def _run_bwd(states, table2, a128, logz, dloss, n_valid, bt, vt, h, pack, cdt,
+             interpret):
     b = states.shape[0]
     lanes = table2.shape[1]  # = h * pack
     rows_total = table2.shape[0]
     nj = rows_total // (vt // pack)
     z128 = _wide(logz)
     d128 = _wide(dloss, jnp.float32)
-    wide = pl.BlockSpec((bt, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
-    dstates = pl.pallas_call(
-        functools.partial(_dstates_kernel, n_valid, vt, nj, h, pack),
-        grid=(b // bt,),
+    # onehot corrections, built once outside the sweep:
+    #   dt[a_i] -= d_i·s_i  (corr rows, RMW'd in-kernel after the sweep)
+    #   ds_i    -= d_i·T[a_i]  (applied below, reusing the row gather)
+    a = _narrow(a128)[:, 0]
+    arow = jnp.where(a >= 0, a // pack, -1).astype(jnp.int32)
+    s32 = states.astype(jnp.float32)
+    tiled_s = jnp.tile(s32, (1, pack)) if pack > 1 else s32
+    if pack > 1:
+        win = jnp.arange(lanes)[None, :] // h == (jnp.clip(a, 0, None) % pack)[:, None]
+        placed = jnp.where(win, tiled_s, 0.0)
+    else:
+        placed = tiled_s
+    corr = placed * dloss.astype(jnp.float32)[:, None]
+
+    dstates, dtable2 = pl.pallas_call(
+        functools.partial(_grads_kernel, n_valid, vt, nj, h, pack, cdt),
         in_specs=[
-            pl.BlockSpec((bt, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            wide,
-            wide,
-            wide,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=pl.BlockSpec((bt, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ),
         scratch_shapes=[
-            pltpu.VMEM((vt // pack, lanes), jnp.float32),
-            pltpu.VMEM((vt // pack, lanes), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((bt, lanes), jnp.float32),
-        ],
-        out_shape=jax.ShapeDtypeStruct((b, h), jnp.float32),
-        interpret=interpret,
-    )(states, a128, z128, d128, table2)
-
-    dtable2 = pl.pallas_call(
-        functools.partial(_dtable_kernel, n_valid, vt, nj, h, pack),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 5,
-        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
-        scratch_shapes=[
-            pltpu.VMEM((vt // pack, lanes), jnp.float32),
-            pltpu.VMEM((vt // pack, lanes), jnp.float32),
+            pltpu.VMEM((vt // pack, lanes), table2.dtype),
+            pltpu.VMEM((vt // pack, lanes), table2.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((vt // pack, lanes), jnp.float32),
             pltpu.VMEM((vt // pack, lanes), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((states.shape[0], states.shape[1]), jnp.float32),
-            pltpu.VMEM((states.shape[0], LANES), jnp.int32),
-            pltpu.VMEM((states.shape[0], LANES), jnp.float32),
-            pltpu.VMEM((states.shape[0], LANES), jnp.float32),
+            pltpu.VMEM((b, states.shape[1]), states.dtype),
+            pltpu.VMEM((b, LANES), jnp.float32),
+            pltpu.VMEM((b, LANES), jnp.float32),
+            pltpu.VMEM((b, lanes), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((b, max(lanes, LANES)), jnp.float32),
+            pltpu.VMEM((1, lanes), jnp.float32),
+            pltpu.SemaphoreType.DMA((1,)),
         ],
-        out_shape=jax.ShapeDtypeStruct((rows_total, lanes), jnp.float32),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h), jnp.float32),
+            jax.ShapeDtypeStruct((rows_total, lanes), jnp.float32),
+        ),
         interpret=interpret,
-    )(states, a128, z128, d128, table2)
+    )(arow, states, z128, d128, corr, table2)
+
+    gold_row = _gold_rows(table2, a, h, pack, interpret)
+    ds_corr = gold_row * dloss.astype(jnp.float32)[:, None]
+    dstates = dstates - jnp.where((a >= 0)[:, None], ds_corr, 0.0)
     return dstates, dtable2
 
 
@@ -406,7 +561,7 @@ def _run_bwd(states, table2, a128, logz, dloss, n_valid, bt, vt, h, pack, interp
 # --------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def streaming_softmax_ce(
     states: jnp.ndarray,  # [B, H] f32
     table: jnp.ndarray,  # [V, H] f32 (tied item-embedding table)
@@ -415,6 +570,7 @@ def streaming_softmax_ce(
     block_b: int = 256,
     block_v: int = 4096,
     interpret: bool | None = None,  # None: interpret off-TPU (CPU tests)
+    dtype: str | None = None,  # tile-matmul compute dtype (None: as given)
 ) -> jnp.ndarray:
     """Per-example CE over the full catalog without materializing [B, V].
 
@@ -422,8 +578,15 @@ def streaming_softmax_ce(
     f32 (same semantics as the reference's CrossEntropyLoss path,
     `src/model/bsarec.py:33-35`). H must divide 128 or be a multiple
     of 128.
+
+    `dtype="bfloat16"` rounds the tile/state matmul operands to bf16
+    in-kernel (f32 accumulation everywhere): the forward then equals a
+    dense `einsum(s.bf16, t.bf16, preferred=f32)` softmax-CE and the
+    MXU runs at its bf16 rate; max/exp/sum/logZ and both gradients
+    still accumulate in f32 (the bf16 policy, `core` docs).
     """
-    loss, _ = _fwd_rule(states, table, answers, n_valid, block_b, block_v, interpret)
+    loss, _ = _fwd_rule(states, table, answers, n_valid, block_b, block_v,
+                        interpret, dtype)
     return loss
 
 
@@ -431,10 +594,11 @@ def _resolve_interpret(interpret):
     return jax.default_backend() != "tpu" if interpret is None else interpret
 
 
-def _prep(states, table, answers, n_valid, block_b, block_v):
+def _prep(states, table, answers, n_valid, block_b, block_v, dtype=None):
     b, h = states.shape
     v = table.shape[0]
     n_valid = v if n_valid is None else n_valid
+    cdt = jnp.dtype(dtype) if dtype is not None else table.dtype
     if h < LANES:
         assert LANES % h == 0, f"H={h} must divide {LANES}"
         pack = LANES // h
@@ -442,8 +606,18 @@ def _prep(states, table, answers, n_valid, block_b, block_v):
         assert h % LANES == 0, f"H={h} must be a multiple of {LANES}"
         pack = 1
     bt = min(block_b, max(8, b))
-    vt = max(2 * pack * 8, min(block_v, v))
-    vt = pl.cdiv(vt, pack * 8) * pack * 8
+    # VMEM budget: the fused backward holds 2 table buffers (table dtype)
+    # + 2 f32 gradient buffers of [vt/pack, h*pack]; cap the tile so the
+    # four stay under ~8 MB (matters for h >= 128, e.g. d=256 catalogs)
+    per_col = h * (2 * jnp.dtype(table.dtype).itemsize + 2 * 4)
+    vt_cap = max(2 * pack * 8, (8 << 20) // per_col)
+    vt = max(2 * pack * 8, min(block_v, v, vt_cap))
+    if vt >= 2 * pack * 8:
+        # floor to a power of two (>= 16, so always a multiple of
+        # pack*8): odd tile widths misalign vp and force a full-table
+        # pad COPY below — at 10M x 256 that is a 5-10 GB copy PER CALL
+        vt = 1 << (vt.bit_length() - 1)
+    vt = max(2 * pack * 8, pl.cdiv(vt, pack * 8) * pack * 8)
     # pad the catalog so nj = Vp / vt is even, then view as packed rows
     vp = pl.cdiv(v, 2 * vt) * 2 * vt
     tp = _pad_to(table, vp, 0)
@@ -451,15 +625,16 @@ def _prep(states, table, answers, n_valid, block_b, block_v):
     sp = _pad_to(states, pl.cdiv(b, bt) * bt, 0)
     # padded batch rows get answer -1: hits nothing, gold stays 0
     ap = _pad_to(answers.astype(jnp.int32), sp.shape[0], 0, value=-1)
-    return sp, table2, _wide(ap), n_valid, bt, vt, h, pack, b, v
+    return sp, table2, _wide(ap), n_valid, bt, vt, h, pack, cdt, b, v
 
 
-def _fwd_rule(states, table, answers, n_valid, block_b, block_v, interpret):
+def _fwd_rule(states, table, answers, n_valid, block_b, block_v, interpret,
+              dtype=None):
     interpret = _resolve_interpret(interpret)
-    sp, t2, a128, nva, bt, vt, h, pack, b, v = _prep(
-        states, table, answers, n_valid, block_b, block_v
+    sp, t2, a128, nva, bt, vt, h, pack, cdt, b, v = _prep(
+        states, table, answers, n_valid, block_b, block_v, dtype
     )
-    loss, logz = _run_fwd(sp, t2, a128, nva, bt, vt, h, pack, interpret)
+    loss, logz = _run_fwd(sp, t2, a128, nva, bt, vt, h, pack, cdt, interpret)
     return loss[:b], (states, table, answers, logz)
 
 
@@ -473,7 +648,8 @@ def _fwd_rule(states, table, answers, n_valid, block_b, block_v, interpret):
 
 
 def streaming_ce_stats(states, table, answers, n_valid=None, block_b: int = 256,
-                       block_v: int = 4096, interpret: bool | None = None):
+                       block_v: int = 4096, interpret: bool | None = None,
+                       dtype: str | None = None):
     """Per-row (loss_local, logz_local) over THIS table's rows only.
 
     Not differentiable — a building block for cross-shard combination.
@@ -481,41 +657,46 @@ def streaming_ce_stats(states, table, answers, n_valid=None, block_b: int = 256,
     simply never match, so gold contributes 0 to loss_local.
     """
     interpret = _resolve_interpret(interpret)
-    sp, t2, a128, nva, bt, vt, h, pack, b, v = _prep(
-        states, table, answers, n_valid, block_b, block_v
+    sp, t2, a128, nva, bt, vt, h, pack, cdt, b, v = _prep(
+        states, table, answers, n_valid, block_b, block_v, dtype
     )
-    loss, logz = _run_fwd(sp, t2, a128, nva, bt, vt, h, pack, interpret)
+    loss, logz = _run_fwd(sp, t2, a128, nva, bt, vt, h, pack, cdt, interpret)
     return loss[:b], logz[:b]
 
 
 def streaming_ce_grads(states, table, answers, logz, dloss, n_valid=None,
                        block_b: int = 256, block_v: int = 4096,
-                       interpret: bool | None = None):
+                       interpret: bool | None = None,
+                       dtype: str | None = None):
     """(dstates_partial, dtable) for this shard given the GLOBAL per-row
     logZ. dstates_partial sums only this shard's softmax columns — psum
     it over the model axis; dtable covers exactly this shard's rows —
     psum it over the data axis."""
     interpret = _resolve_interpret(interpret)
-    sp, t2, a128, nva, bt, vt, h, pack, b, v = _prep(
-        states, table, answers, n_valid, block_b, block_v
+    sp, t2, a128, nva, bt, vt, h, pack, cdt, b, v = _prep(
+        states, table, answers, n_valid, block_b, block_v, dtype
     )
     zp = _pad_to(logz, sp.shape[0], 0)
     dp = _pad_to(dloss, sp.shape[0], 0)  # padded rows: dloss 0 -> no grad
-    dstates, dtable2 = _run_bwd(sp, t2, a128, zp, dp, nva, bt, vt, h, pack, interpret)
+    dstates, dtable2 = _run_bwd(
+        sp, t2, a128, zp, dp, nva, bt, vt, h, pack, cdt, interpret
+    )
     return dstates[:b], dtable2.reshape(-1, h)[:v]
 
 
-def _bwd_rule(n_valid, block_b, block_v, interpret, res, dloss):
+def _bwd_rule(n_valid, block_b, block_v, interpret, dtype, res, dloss):
     interpret = _resolve_interpret(interpret)
     states, table, answers, logz = res
-    sp, t2, a128, nva, bt, vt, h, pack, b, v = _prep(
-        states, table, answers, n_valid, block_b, block_v
+    sp, t2, a128, nva, bt, vt, h, pack, cdt, b, v = _prep(
+        states, table, answers, n_valid, block_b, block_v, dtype
     )
     zp = logz  # computed on the padded batch, already padded length
     dp = _pad_to(dloss, sp.shape[0], 0)  # padded rows: dloss 0 -> no grad
-    dstates, dtable2 = _run_bwd(sp, t2, a128, zp, dp, nva, bt, vt, h, pack, interpret)
+    dstates, dtable2 = _run_bwd(
+        sp, t2, a128, zp, dp, nva, bt, vt, h, pack, cdt, interpret
+    )
     dtable = dtable2.reshape(-1, h)[:v]
-    return dstates[:b], dtable, None
+    return dstates[:b], dtable.astype(table.dtype), None
 
 
 streaming_softmax_ce.defvjp(_fwd_rule, _bwd_rule)

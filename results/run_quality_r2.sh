@@ -35,4 +35,9 @@ run q2_Beauty_sasrec_lr1d25 --data_name Beauty --model_type SASRec --lr 0.001 \
   --hidden_dropout_prob 0.25 --attention_probs_dropout_prob 0.25
 run q2_Beauty_fmlp_lr1d25 --data_name Beauty --model_type FMLPRec --lr 0.001 \
   --hidden_dropout_prob 0.25 --attention_probs_dropout_prob 0.25
+
+# bf16 mixed-precision quality parity (VERDICT item 3): the paper config
+# with --dtype bf16 must land within run variance of the fp32 row
+run q2_Beauty_bsarec_bf16 --data_name Beauty --model_type BSARec \
+  --num_attention_heads 1 --lr 0.0005 --alpha 0.7 --c 5 --dtype bf16
 echo "ALL RUNS DONE"

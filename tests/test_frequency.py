@@ -83,3 +83,33 @@ def test_bandpass_matrices_match_fft():
     full[:, left:right] = q_fft
     want_bl = np.fft.irfft(full, n=seq_len, axis=-1)
     np.testing.assert_allclose(q @ bp.T, want_bl, atol=1e-4)
+
+
+def test_bandpass_matrices_long_sequence():
+    """FEARec's band matrices at the reference's long-sequence shape
+    (L=200, `repo-b/parse.py:11`) — the [L, L/2+1] DFT matmuls must hold
+    numerically at 4x the paper's L=50."""
+    rng = np.random.default_rng(4)
+    seq_len, left, right = 200, 20, 101
+    r_re, r_im, a_re, a_im, bp = bandpass_matrices(seq_len, left, right)
+    q = rng.normal(size=(3, seq_len))
+    q_fft = np.fft.rfft(q, axis=-1)[:, left:right]
+    np.testing.assert_allclose(q @ r_re.T, q_fft.real, atol=1e-3)
+    np.testing.assert_allclose(q @ r_im.T, q_fft.imag, atol=1e-3)
+    full = np.zeros((3, seq_len // 2 + 1), dtype=complex)
+    full[:, left:right] = q_fft
+    np.testing.assert_allclose(q @ bp.T, np.fft.irfft(full, n=seq_len, axis=-1), atol=1e-3)
+
+
+def test_complex_filter_long_sequence():
+    """FMLP's learned filter at L=200 (kept as DFT matmuls: no FFT
+    lowering in this TPU toolchain)."""
+    rng = np.random.default_rng(5)
+    L = 200
+    x = rng.normal(size=(2, L, 4)).astype(np.float32)
+    wr = rng.normal(size=(1, L // 2 + 1, 4)).astype(np.float32) * 0.02
+    wi = rng.normal(size=(1, L // 2 + 1, 4)).astype(np.float32) * 0.02
+    got = np.asarray(complex_filter_apply(jnp.asarray(x), jnp.asarray(wr), jnp.asarray(wi)))
+    spec = np.fft.rfft(x, axis=1, norm="ortho") * (wr + 1j * wi)
+    want = np.fft.irfft(spec, n=L, axis=1, norm="ortho")
+    np.testing.assert_allclose(got, want, atol=1e-5)

@@ -96,3 +96,52 @@ def test_streaming_topk_matches_dense(b, v, h, n_valid, k):
         surfaced = set(got_ids[r].tolist()) & set(seen[r][seen[r] > 0].tolist())
         for s in surfaced:
             assert logits[r, s] == 0.0
+
+
+def test_streaming_ce_bf16_matches_dense_bf16():
+    """dtype="bfloat16": forward and both grads must equal the dense
+    path computed with bf16-rounded matmul operands and f32
+    accumulation (the bf16 compute policy)."""
+    rng = np.random.default_rng(11)
+    b, v, h, n_valid = 8, 256, 64, 250
+    states = jnp.asarray(rng.normal(size=(b, h)).astype(np.float32))
+    table = jnp.asarray(rng.normal(size=(v, h)).astype(np.float32))
+    answers = jnp.asarray(rng.integers(1, n_valid, size=b).astype(np.int32))
+
+    def dense_bf16(s, t):
+        logits = jnp.einsum(
+            "bh,vh->bv",
+            s.astype(jnp.bfloat16),
+            t.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        logits = jnp.where(
+            jnp.arange(t.shape[0])[None, :] < n_valid, logits, -jnp.inf
+        )
+        lz = jax.nn.logsumexp(logits, axis=-1)
+        gold = jnp.take_along_axis(logits, answers[:, None], axis=-1)[:, 0]
+        return lz - gold
+
+    want = dense_bf16(states, table)
+    got = streaming_softmax_ce(
+        states, table, answers, n_valid, 8, 128, True, "bfloat16"
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
+
+    g_want = jax.grad(
+        lambda s, t: jnp.mean(dense_bf16(s, t)), argnums=(0, 1)
+    )(states, table)
+    g_got = jax.grad(
+        lambda s, t: jnp.mean(
+            streaming_softmax_ce(s, t, answers, n_valid, 8, 128, True, "bfloat16")
+        ),
+        argnums=(0, 1),
+    )(states, table)
+    # the streaming backward rounds (softmax - onehot)·dloss to bf16
+    # before its dots (dense autodiff keeps it f32): small relative slack
+    np.testing.assert_allclose(
+        np.asarray(g_got[0]), np.asarray(g_want[0]), rtol=0.05, atol=6e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_got[1]), np.asarray(g_want[1]), rtol=0.05, atol=6e-4
+    )

@@ -107,3 +107,33 @@ def test_visualization_metrics_shapes():
     assert all(abs(s[0] - 1.0) < 1e-9 for s in svs)
     resp = filter_spectral_response(rng.normal(size=(1, 26, 8)), rng.normal(size=(1, 26, 8)))
     assert resp.shape == (26,)
+
+
+def test_preprocess_cli_end_to_end(tmp_path):
+    """`python -m bsarec_tpu.data.preprocess` CLI: raw file -> corpus
+    .txt, missing raw files reported not fatal (process.sh analog)."""
+    import json as _json
+
+    from bsarec_tpu.data.preprocess import main
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    rng = np.random.default_rng(0)
+    rows = []
+    for u in range(30):
+        for i in rng.choice(25, size=rng.integers(6, 15), replace=False):
+            rows.append({"reviewerID": f"u{u}", "asin": f"i{i}",
+                         "overall": 5.0, "unixReviewTime": int(rng.integers(1e9, 1.1e9))})
+    with open(raw / "reviews_Beauty_5.json", "w") as fh:
+        for r in rows:
+            fh.write(_json.dumps(r) + "\n")
+
+    results = main([
+        "--dataset", "all", "--raw_dir", str(raw), "--out_dir", str(tmp_path / "out"),
+    ])
+    assert set(results) == {"Beauty"}  # only dataset with a raw file
+    lines = (tmp_path / "out" / "Beauty.txt").read_text().strip().splitlines()
+    assert len(lines) == results["Beauty"]["users"]
+    first = lines[0].split()
+    assert all(tok.isdigit() for tok in first)
+    assert len(first) - 1 >= 5  # user_core survived
