@@ -18,10 +18,20 @@ BASELINE_EXAMPLES_PER_SEC = 10_100.0
 
 
 def main():
+    import argparse
+
     from bsarec_tpu.config import ModelConfig, TrainConfig
     from bsarec_tpu.data.corpus import load_corpus
     from bsarec_tpu.data.pipeline import SeqRecData
     from bsarec_tpu.train.trainer import Trainer
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--dtype", default="fp32", choices=("fp32", "bf16"),
+        help="compute policy for the benchmarked run (quality parity for "
+        "bf16: results/quality_zoo_r2.md)",
+    )
+    args = parser.parse_args()
 
     logger = logging.getLogger("bench")
     logger.addHandler(logging.NullHandler())
@@ -33,6 +43,7 @@ def main():
         model_type="bsarec", item_size=corpus.item_size, num_users=corpus.num_users + 1,
         max_seq_length=50, hidden_size=64, num_hidden_layers=2, num_attention_heads=1,
         c=5, alpha=0.7,
+        compute_dtype="bfloat16" if args.dtype == "bf16" else "float32",
     )
     train_cfg = TrainConfig(lr=5e-4, batch_size=256, seed=42)
     trainer = Trainer(model_cfg, train_cfg, data, logger, "/tmp/bench.ckpt")
