@@ -25,7 +25,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def synthetic_long_corpus(n_users=8000, n_items=3500, seed=0):
+def synthetic_long_corpus(n_users=3000, n_items=3500, seed=0):
+    # NOTE: n_users=8000 (~1.36M prefix-expanded samples, a ~1.1 GB
+    # HBM-resident input array) reproducibly crashes this environment's
+    # TPU worker ("kernel fault") inside the epoch scan, while a single
+    # jitted step at the same shapes and the same epoch at <=~0.5M
+    # samples run fine — an XLA/runtime limit, not a framework one
+    # (--multihost exists precisely to keep the dataset off-HBM).
     from bsarec_tpu.data.corpus import Corpus
 
     rng = np.random.default_rng(seed)
@@ -42,6 +48,12 @@ def main():
     parser.add_argument("--models", default="bsarec,fearec,fmlprec")
     parser.add_argument("--epochs", type=int, default=3)
     parser.add_argument("--dtype", default="float32")
+    parser.add_argument("--users", type=int, default=3000)
+    parser.add_argument(
+        "--multihost", action="store_true",
+        help="host-fed pipeline: the dataset stays off-HBM, which also "
+        "sidesteps the large-resident-dataset TPU-worker fault above",
+    )
     args = parser.parse_args()
 
     from bsarec_tpu.config import ModelConfig, TrainConfig
@@ -52,7 +64,7 @@ def main():
     logger.addHandler(logging.NullHandler())
     logger.propagate = False
 
-    corpus = synthetic_long_corpus()
+    corpus = synthetic_long_corpus(n_users=args.users)
     data = SeqRecData(corpus, max_len=200)
 
     for model in args.models.split(","):
@@ -62,7 +74,14 @@ def main():
             hidden_size=128, num_hidden_layers=4, num_attention_heads=2,
             c=9, alpha=0.7, compute_dtype=args.dtype,
         )
-        train_cfg = TrainConfig(lr=1e-3, batch_size=256, seed=0)
+        # unroll=1 + remat: the L=200 4-layer contrastive models
+        # (FEARec trains 3 forwards/step) crash the worker with the
+        # default unroll=2 epoch scan (double peak residuals); remat
+        # caps residual memory at the cost of a forward recompute
+        train_cfg = TrainConfig(
+            lr=1e-3, batch_size=256, seed=0, multihost=args.multihost,
+            scan_unroll=1, remat=model in ("fearec", "duorec"),
+        )
         trainer = Trainer(model_cfg, train_cfg, data, logger, "/tmp/longseq.ckpt")
         losses = [trainer.train(0)]  # compile epoch
         t0 = time.time()
@@ -80,7 +99,8 @@ def main():
                     "value": round(args.epochs * data.train.num_samples / dt, 1),
                     "unit": "examples/s",
                     "maxlen": 200, "layers": 4, "hidden": 128,
-                    "dtype": args.dtype,
+                    "dtype": args.dtype, "multihost": args.multihost,
+                    "train_samples": data.train.num_samples,
                     "final_loss": round(float(losses[-1]), 4),
                     "loss_decreasing": bool(losses[-1] < losses[0]),
                     "eval_seconds": round(eval_s, 2),

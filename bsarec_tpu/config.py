@@ -80,6 +80,15 @@ class TrainConfig:
     # data axis; "data:N,model:M" = explicit 2-D mesh (model shards the
     # item table rows / logit columns). See core/mesh.py.
     mesh: str = ""
+    # epoch-scan unroll factor: 2 halves scan-loop overhead on small
+    # models; 1 halves peak activation memory (XLA schedules the
+    # unrolled bodies' residuals concurrently) — use 1 for long-sequence
+    # / many-layer configs that brush the HBM limit
+    scan_unroll: int = 2
+    # rematerialize each encoder block's activations in the backward
+    # (jax.checkpoint): trades ~1/3 more FLOPs for O(layers) less
+    # residual memory — the standard long-context lever
+    remat: bool = False
     # host-fed input pipeline (data/multihost.py): the training set stays
     # on host (each process reads only its slice of every global batch)
     # instead of living in HBM for the whole run; the global batch

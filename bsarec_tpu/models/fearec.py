@@ -57,6 +57,29 @@ def fearec_band(cfg: EncoderConfig, global_ratio: float, layer: int) -> tuple[in
     return left, right
 
 
+def _delay_circulant(weights: jnp.ndarray, delay: jnp.ndarray, length: int) -> jnp.ndarray:
+    """[B, L, L] circulant combine matrix C with
+    C[b, l, m] = Σ_k weights[b, k] · 1[(m − l) mod L == delay[b or ·, k]],
+    so that einsum('bhdm,blm->bhdl', V, C) == Σ_k w_k · roll(V, -δ_k).
+
+    The reference (and our round-1 port) materializes the rolled values
+    as a [B, h, d, k, L] tensor (`fearec.py:253-303`) — 5.4 GB per layer
+    at L=200/d=128/B=256, which hard-crashes the TPU worker. The delay
+    sum is a circular convolution, so we scatter the k weights into a
+    [B, L] lag profile and gather it into a circulant matrix: O(B·L²)
+    memory and one MXU matmul instead of a giant gather."""
+    b = weights.shape[0]
+    lag_profile = jnp.zeros((b, length), weights.dtype)
+    if delay.ndim == 1:  # shared delays (train variant)
+        lag_profile = lag_profile.at[:, delay].add(weights)
+    else:  # per-row delays (infer variant)
+        rows = jnp.arange(b)[:, None]
+        lag_profile = lag_profile.at[rows, delay].add(weights)
+    pos = jnp.arange(length)
+    diff = (pos[None, :] - pos[:, None]) % length  # [L, L]: (m - l) mod L
+    return lag_profile[:, diff]  # [B, L, L]
+
+
 def time_delay_agg_train(values: jnp.ndarray, corr: jnp.ndarray, top_k: int) -> jnp.ndarray:
     """Batch-shared top-k delay aggregation (`fearec.py:253-274`).
 
@@ -68,9 +91,8 @@ def time_delay_agg_train(values: jnp.ndarray, corr: jnp.ndarray, top_k: int) -> 
     _, index = jax.lax.top_k(jnp.mean(mean_value, axis=0), top_k)  # [k]
     weights = mean_value[:, index]  # [B, k]
     tmp_corr = jax.nn.softmax(weights, axis=-1)
-    idx = (jnp.arange(length)[None, :] + index[:, None]) % length  # [k, L]
-    gathered = jnp.take(values, idx, axis=-1)  # [B, h, d, k, L]
-    return jnp.einsum("bhdkl,bk->bhdl", gathered, tmp_corr)
+    comb = _delay_circulant(tmp_corr, index, length)
+    return jnp.einsum("bhdm,blm->bhdl", values, comb)
 
 
 def time_delay_agg_infer(values: jnp.ndarray, corr: jnp.ndarray, top_k: int) -> jnp.ndarray:
@@ -79,11 +101,8 @@ def time_delay_agg_infer(values: jnp.ndarray, corr: jnp.ndarray, top_k: int) -> 
     mean_value = jnp.mean(corr, axis=(1, 2))  # [B, L]
     weights, delay = jax.lax.top_k(mean_value, top_k)  # [B, k]
     tmp_corr = jax.nn.softmax(weights, axis=-1)
-    idx = (jnp.arange(length)[None, None, :] + delay[:, :, None]) % length  # [B, k, L]
-    gathered = jnp.take_along_axis(
-        values[:, :, :, None, :], idx[:, None, None, :, :], axis=-1
-    )  # [B, h, d, k, L]
-    return jnp.einsum("bhdkl,bk->bhdl", gathered, tmp_corr)
+    comb = _delay_circulant(tmp_corr, delay, length)
+    return jnp.einsum("bhdm,blm->bhdl", values, comb)
 
 
 class FEARecLayer(nn.Module):

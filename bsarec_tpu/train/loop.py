@@ -80,7 +80,7 @@ def sample_negatives(key, input_ids, answers, item_size, rounds: int = 8):
     return cand
 
 
-def build_train_epoch(model, tx, item_size: int, batch_size: int, num_samples: int, with_sem: bool, mesh=None):
+def build_train_epoch(model, tx, item_size: int, batch_size: int, num_samples: int, with_sem: bool, mesh=None, unroll: int = 2, remat: bool = False):
     """Returns a jitted `epoch(params, opt_state, key, inputs, answers,
     users, sem) -> (params, opt_state, mean_loss)`.
 
@@ -104,6 +104,11 @@ def build_train_epoch(model, tx, item_size: int, batch_size: int, num_samples: i
             rngs={"dropout": dropout_key},
         )
 
+    if remat:
+        # whole-loss rematerialization: the backward re-runs the forward
+        # instead of keeping per-layer residuals alive — the coarse but
+        # model-agnostic form of jax.checkpoint (long-context lever)
+        loss_fn = jax.checkpoint(loss_fn)
     grad_fn = jax.value_and_grad(loss_fn)
 
     def epoch(params, opt_state, key, inputs, answers, users, sem):
@@ -135,14 +140,16 @@ def build_train_epoch(model, tx, item_size: int, batch_size: int, num_samples: i
 
         (params, opt_state, loss_sum), _ = jax.lax.scan(
             body, (params, opt_state, 0.0), (perm, jnp.arange(steps)),
-            unroll=2,  # halves scan-loop overhead; semantics unchanged
+            # unroll=2 halves scan-loop overhead (semantics unchanged);
+            # unroll=1 halves peak activation memory for big models
+            unroll=unroll,
         )
         return params, opt_state, loss_sum / steps
 
     return jax.jit(epoch, donate_argnums=(0, 1)), steps
 
 
-def build_train_step(model, tx, item_size: int, with_sem: bool, mesh=None):
+def build_train_step(model, tx, item_size: int, with_sem: bool, mesh=None, remat: bool = False):
     """Single jitted optimizer step for host-fed batches (`--multihost`,
     `data/multihost.py:HostShardedDataset`).
 
@@ -166,6 +173,8 @@ def build_train_step(model, tx, item_size: int, with_sem: bool, mesh=None):
             rngs={"dropout": dropout_key},
         )
 
+    if remat:
+        loss_fn = jax.checkpoint(loss_fn)
     grad_fn = jax.value_and_grad(loss_fn)
 
     def step(params, opt_state, step_key, batch):

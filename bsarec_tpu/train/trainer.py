@@ -135,7 +135,7 @@ class Trainer:
             )
             self._step_fn = build_train_step(
                 self.model, self.tx, model_cfg.item_size, self.with_sem,
-                mesh=self.mesh,
+                mesh=self.mesh, remat=train_cfg.remat,
             )
             self._train_dev = None
             self._epoch_fn = None
@@ -154,6 +154,8 @@ class Trainer:
                 data.train.num_samples,
                 self.with_sem,
                 mesh=self.mesh,
+                unroll=train_cfg.scan_unroll,
+                remat=train_cfg.remat,
             )
         self._eval_fn, _, self.eval_impl = build_eval_fn(
             self.model,

@@ -159,3 +159,48 @@ def test_bf16_policy_matches_fp32(name, batch):
         assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
     # bf16 rounding moves an O(5) CE loss by <1% at init
     assert abs(losses["bfloat16"] - losses["float32"]) < 0.05 * abs(losses["float32"])
+
+
+def test_fearec_delay_agg_circulant_matches_gather():
+    """The circulant-matmul delay aggregation must equal the reference's
+    explicit rolled-gather formula (repo fearec.py:253-303) for both the
+    shared-delay (train) and per-row (infer) variants."""
+    import jax
+    import jax.numpy as jnp
+
+    from bsarec_tpu.models.fearec import time_delay_agg_infer, time_delay_agg_train
+
+    rng = np.random.default_rng(0)
+    B, h, d, L, k = 3, 2, 4, 14, 5
+    values = jnp.asarray(rng.normal(size=(B, h, d, L)).astype(np.float32))
+    corr = jnp.asarray(rng.normal(size=(B, h, d, L)).astype(np.float32))
+
+    def ref_train(values, corr, top_k):
+        length = values.shape[-1]
+        mean_value = jnp.mean(corr, axis=(1, 2))
+        _, index = jax.lax.top_k(jnp.mean(mean_value, axis=0), top_k)
+        weights = mean_value[:, index]
+        tmp_corr = jax.nn.softmax(weights, axis=-1)
+        idx = (jnp.arange(length)[None, :] + index[:, None]) % length
+        gathered = jnp.take(values, idx, axis=-1)
+        return jnp.einsum("bhdkl,bk->bhdl", gathered, tmp_corr)
+
+    def ref_infer(values, corr, top_k):
+        length = values.shape[-1]
+        mean_value = jnp.mean(corr, axis=(1, 2))
+        weights, delay = jax.lax.top_k(mean_value, top_k)
+        tmp_corr = jax.nn.softmax(weights, axis=-1)
+        idx = (jnp.arange(length)[None, None, :] + delay[:, :, None]) % length
+        gathered = jnp.take_along_axis(
+            values[:, :, :, None, :], idx[:, None, None, :, :], axis=-1
+        )
+        return jnp.einsum("bhdkl,bk->bhdl", gathered, tmp_corr)
+
+    np.testing.assert_allclose(
+        np.asarray(time_delay_agg_train(values, corr, k)),
+        np.asarray(ref_train(values, corr, k)), atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(time_delay_agg_infer(values, corr, k)),
+        np.asarray(ref_infer(values, corr, k)), atol=1e-5,
+    )
