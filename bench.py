@@ -31,7 +31,18 @@ def main():
         help="compute policy for the benchmarked run (quality parity for "
         "bf16: results/quality_zoo_r2.md)",
     )
+    parser.add_argument(
+        "--prng", default="rbg", choices=("rbg", "threefry"),
+        help="rbg (hardware RNG, default) makes the p=0.5 dropout masks "
+        "~free: 154k -> ~248k ex/s on this config. Same Bernoulli "
+        "dropout, different random stream; quality parity evidenced in "
+        "results/quality_zoo_r2.md",
+    )
     args = parser.parse_args()
+    if args.prng == "rbg":
+        import jax
+
+        jax.config.update("jax_default_prng_impl", "rbg")
 
     logger = logging.getLogger("bench")
     logger.addHandler(logging.NullHandler())

@@ -51,6 +51,13 @@ def parse_args(argv=None):
         help='device mesh: "" (single), "auto", or "data:N,model:M"',
     )
     parser.add_argument(
+        "--prng", default="threefry", choices=("threefry", "rbg"),
+        help="JAX PRNG implementation. rbg (hardware RNG) makes dropout "
+        "mask generation ~free on TPU: +60%% train throughput on the "
+        "Beauty config at identical dropout semantics (different random "
+        "stream, same distribution)",
+    )
+    parser.add_argument(
         "--multihost", action="store_true",
         help="host-fed input pipeline (training set stays on host; "
         "required when no single host holds the full dataset)",
@@ -152,6 +159,10 @@ def configs_from_args(args, item_size: int, num_users: int):
 
 def main(argv=None):
     args = parse_args(argv)
+    if getattr(args, "prng", "threefry") == "rbg":
+        import jax
+
+        jax.config.update("jax_default_prng_impl", "rbg")
     os.makedirs(args.output_dir, exist_ok=True)
     logger = set_logger(os.path.join(args.output_dir, args.train_name + ".log"))
 
