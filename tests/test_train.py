@@ -293,3 +293,21 @@ def test_mesh_streaming_training_matches_single_device(tmp_path):
     ms, _ = single.valid(0)
     mm, _ = meshed.valid(0)
     np.testing.assert_allclose(np.asarray(mm), np.asarray(ms), atol=1e-5)
+
+
+def test_cli_round2_flags_parse():
+    """Round-2 CLI surface: --prng/--multihost/--dtype/--mesh parse and
+    map onto the configs."""
+    from bsarec_tpu.main import configs_from_args, parse_args
+
+    args = parse_args([
+        "--data_name", "Beauty", "--model_type", "BSARec", "--c", "5",
+        "--alpha", "0.7", "--prng", "rbg", "--multihost",
+        "--dtype", "bf16", "--mesh", "data:4,model:2",
+        "--eval_impl", "streaming",
+    ])
+    assert args.prng == "rbg" and args.multihost
+    model_cfg, train_cfg = configs_from_args(args, item_size=32, num_users=8)
+    assert model_cfg.compute_dtype == "bfloat16"
+    assert train_cfg.multihost and train_cfg.mesh == "data:4,model:2"
+    assert train_cfg.eval_impl == "streaming"
