@@ -81,6 +81,9 @@ def parse(argv=None):
     p.add_argument("--fs_num_epochs", default=80, type=int)
     p.add_argument("--fs_emb", action="store_true")
     p.add_argument("--eval_batch_size", default=0, type=int)
+    # rbg = TPU hardware RNG: dropout-mask generation ~free (see the
+    # BSARec-side --prng flag; same Bernoulli semantics)
+    p.add_argument("--prng", default="threefry", choices=("threefry", "rbg"))
     p.add_argument("--loss_size", default=250, type=int)
     p.add_argument("--no_emb", action="store_true")
     p.add_argument("--no_fixed_emb", action="store_true")
@@ -127,6 +130,10 @@ def parse(argv=None):
 
 def main(argv=None):
     args = parse(argv)
+    if args.prng == "rbg":
+        import jax
+
+        jax.config.update("jax_default_prng_impl", "rbg")
     logging.basicConfig(level=logging.INFO, format="%(asctime)s - %(message)s")
     logger = logging.getLogger("preprec")
 

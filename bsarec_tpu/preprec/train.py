@@ -448,7 +448,11 @@ class PrepRecTrainer:
         capability of `repo-b/train_test.py:132-171`, realized without
         the reference's per-epoch state-dict swap dance)."""
         cfg, tcfg = self.cfg, self.tcfg
-        best_ndcg, best_params, stop = 0.0, self.params, 0
+        # best_params must be a HOST snapshot: the jitted epoch fns
+        # donate self.params (donate_argnums), so a live reference to
+        # the old device buffers is deleted after the next epoch —
+        # real on TPU, silently a no-op on the CPU test backend
+        best_ndcg, best_params, stop = 0.0, jax.device_get(self.params), 0
         mode = "valid" if not cfg.sparse or cfg.override_sparse else "test"
         if tcfg.first_eval:  # repo-b/train_test.py:29-33
             m0, _ = self.evaluate(mode, userpop)
@@ -475,7 +479,9 @@ class PrepRecTrainer:
                     self.logger.info(f"epoch {epoch} {mode} dataset-2: {m2}")
                 ckpt.save_params(self.params, os.path.join(self.write_dir, f"epoch={epoch}.ckpt"))
                 if ndcg > best_ndcg:
-                    best_ndcg, best_params, stop = ndcg, self.params, 0
+                    best_ndcg, best_params, stop = (
+                        ndcg, jax.device_get(self.params), 0
+                    )
                 else:
                     stop += 1
             if stop >= tcfg.stop_early:
@@ -483,7 +489,7 @@ class PrepRecTrainer:
         if best_ndcg > 0:
             ckpt.save_params(best_params, os.path.join(self.write_dir, "best.ckpt"))
             if not tcfg.state_override:  # repo-b/train_test.py:290-293
-                self.params = best_params
+                self.params = jax.device_put(best_params)
         if tcfg.train_only:  # repo-b/train_test.py:284
             return None, None
         metrics, ranks = self.evaluate("test", userpop)
