@@ -204,32 +204,43 @@ class FEARecModel(SequentialRecModel):
         seq_output = self.forward(input_ids, train=train)[:, -1, :]
         loss = full_softmax_ce(seq_output, self.item_table, answers, impl=self.config.loss_impl, dtype=self.config.compute_dtype)
 
-        aug_output = sem_output = None
+        aug_full = sem_full = None
         if cfg.ssl in ("us", "un"):
-            aug_output = self.forward(input_ids, train=train)[:, -1, :]
-            loss += cfg.lmd * info_nce_logits(seq_output, aug_output, cfg.tau, cfg.sim)
+            aug_full = self.forward(input_ids, train=train)
+            loss += cfg.lmd * info_nce_logits(
+                seq_output, aug_full[:, -1, :], cfg.tau, cfg.sim
+            )
         if cfg.ssl in ("us", "su"):
-            sem_output = self.forward(same_target, train=train)[:, -1, :]
-            loss += cfg.lmd_sem * info_nce_logits(seq_output, sem_output, cfg.tau, cfg.sim)
+            sem_full = self.forward(same_target, train=train)
+            loss += cfg.lmd_sem * info_nce_logits(
+                seq_output, sem_full[:, -1, :], cfg.tau, cfg.sim
+            )
         if cfg.ssl == "us_x":
-            aug_output = self.forward(input_ids, train=train)[:, -1, :]
-            sem_output = self.forward(same_target, train=train)[:, -1, :]
-            loss += cfg.lmd_sem * info_nce_logits(aug_output, sem_output, cfg.tau, cfg.sim)
+            aug_full = self.forward(input_ids, train=train)
+            sem_full = self.forward(same_target, train=train)
+            loss += cfg.lmd_sem * info_nce_logits(
+                aug_full[:, -1, :], sem_full[:, -1, :], cfg.tau, cfg.sim
+            )
 
         if cfg.fredom:
-            # rfft over the hidden axis of the [B, H] states
-            # (fearec.py:132-134), via DFT matmuls (no TPU FFT lowering):
-            # |rfft(a) - rfft(b)| = sqrt(dRe^2 + dIm^2) elementwise
+            # reference (`fearec.py:131-143`): rfft(·, dim=1, norm=ortho)
+            # then mean |Δ| — but seq_output is the LAST-POSITION [B, H]
+            # state while aug/sem stay FULL [B, L, H] sequence outputs,
+            # so only the us_x pairing (aug vs sem, both [B, L, H], time
+            # axis) is shape-consistent; every other fredom_type crashes
+            # in the reference. We reproduce us_x exactly and keep the
+            # other types well-defined on last-position states (hidden
+            # axis) as a documented extension.
             from bsarec_tpu.ops.frequency import rfft_real_imag
 
             def fre_l1(a, b):
                 dre, dim = rfft_real_imag(a - b, axis=1)
                 return jnp.mean(jnp.sqrt(dre**2 + dim**2 + 1e-12))
 
-            if cfg.fredom_type in ("us", "un") and aug_output is not None:
-                loss += 0.1 * fre_l1(seq_output, aug_output)
-            if cfg.fredom_type in ("us", "su") and sem_output is not None:
-                loss += 0.1 * fre_l1(seq_output, sem_output)
-            if cfg.fredom_type == "us_x" and aug_output is not None and sem_output is not None:
-                loss += 0.1 * fre_l1(aug_output, sem_output)
+            if cfg.fredom_type in ("us", "un") and aug_full is not None:
+                loss += 0.1 * fre_l1(seq_output, aug_full[:, -1, :])
+            if cfg.fredom_type in ("us", "su") and sem_full is not None:
+                loss += 0.1 * fre_l1(seq_output, sem_full[:, -1, :])
+            if cfg.fredom_type == "us_x" and aug_full is not None and sem_full is not None:
+                loss += 0.1 * fre_l1(aug_full, sem_full)
         return loss

@@ -33,6 +33,9 @@ def full_softmax_ce(
     on TPU for production-scale catalogs, dense otherwise). `dtype` is
     the matmul compute dtype; logsumexp/CE always accumulate fp32.
     """
+    # the streaming kernels take dtype=None for "as given"; map the
+    # explicit f32 default onto that so an f32 table stays on the f32 path
+    k_dtype = None if jnp.dtype(dtype) == jnp.float32 else dtype
     if impl == "sharded_streaming":
         # vocab-sharded mesh run: per-shard Pallas sweeps + collectives
         # (the trainer picks this impl; see parallel/logits.py)
@@ -40,7 +43,9 @@ def full_softmax_ce(
         from bsarec_tpu.parallel.logits import sharded_streaming_ce
 
         return jnp.mean(
-            sharded_streaming_ce(seq_state, item_table, answers, active_mesh())
+            sharded_streaming_ce(
+                seq_state, item_table, answers, active_mesh(), dtype=k_dtype
+            )
         )
     if impl == "auto":
         use_streaming = (
@@ -52,7 +57,9 @@ def full_softmax_ce(
     if use_streaming:
         from bsarec_tpu.ops.pallas_ce import streaming_softmax_ce
 
-        return jnp.mean(streaming_softmax_ce(seq_state, item_table, answers))
+        return jnp.mean(
+            streaming_softmax_ce(seq_state, item_table, answers, dtype=k_dtype)
+        )
     dt = jnp.dtype(dtype)
     logits = jnp.einsum(
         "bh,vh->bv",

@@ -623,8 +623,14 @@ def _prep(states, table, answers, n_valid, block_b, block_v, dtype=None):
     tp = _pad_to(table, vp, 0)
     table2 = tp.reshape(vp // pack, h * pack)  # row-major: free relayout
     sp = _pad_to(states, pl.cdiv(b, bt) * bt, 0)
-    # padded batch rows get answer -1: hits nothing, gold stays 0
-    ap = _pad_to(answers.astype(jnp.int32), sp.shape[0], 0, value=-1)
+    # padded batch rows get answer -1: hits nothing, gold stays 0.
+    # Out-of-range answers (another shard's gold, or ids >= n_valid) map
+    # to -1 too: the gold gather clips its index, so when the catalog is
+    # exactly tile-aligned (vp == v) a stray positive id would otherwise
+    # land on a REAL row and produce a silently wrong nonzero gold.
+    a32 = answers.astype(jnp.int32)
+    a32 = jnp.where((a32 >= 0) & (a32 < n_valid), a32, -1)
+    ap = _pad_to(a32, sp.shape[0], 0, value=-1)
     return sp, table2, _wide(ap), n_valid, bt, vt, h, pack, cdt, b, v
 
 

@@ -157,19 +157,19 @@ def _local_answers(a, shard, rows):
 
 
 def _sce_primal(states, table, answers, mesh, model_axis, data_axis,
-                block_b, block_v, interpret):
+                block_b, block_v, interpret, dtype):
     loss, _ = _sce_fwd(
         states, table, answers, mesh, model_axis, data_axis,
-        block_b, block_v, interpret,
+        block_b, block_v, interpret, dtype,
     )
     return loss
 
 
-_sce = jax.custom_vjp(_sce_primal, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+_sce = jax.custom_vjp(_sce_primal, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
 
 
 def _sce_fwd(states, table, answers, mesh, model_axis, data_axis,
-             block_b, block_v, interpret):
+             block_b, block_v, interpret, dtype):
     from bsarec_tpu.ops.pallas_ce import streaming_ce_stats
 
     @partial(
@@ -189,6 +189,7 @@ def _sce_fwd(states, table, answers, mesh, model_axis, data_axis,
         loss_l, logz_l = streaming_ce_stats(
             s, t, _local_answers(a, shard, rows),
             block_b=block_b, block_v=block_v, interpret=interpret,
+            dtype=dtype,
         )
         gold_l = logz_l - loss_l  # exactly the in-kernel gold sum; 0 off-shard
         m = jax.lax.pmax(logz_l, model_axis)
@@ -201,7 +202,7 @@ def _sce_fwd(states, table, answers, mesh, model_axis, data_axis,
 
 
 def _sce_bwd(mesh, model_axis, data_axis, block_b, block_v, interpret,
-             res, dloss):
+             dtype, res, dloss):
     from bsarec_tpu.ops.pallas_ce import streaming_ce_grads
 
     states, table, answers, logz = res
@@ -222,6 +223,7 @@ def _sce_bwd(mesh, model_axis, data_axis, block_b, block_v, interpret,
         ds_part, dt_part = streaming_ce_grads(
             s, t, _local_answers(a, shard, rows), z, d,
             block_b=block_b, block_v=block_v, interpret=interpret,
+            dtype=dtype,
         )
         # each shard's dstates sums only its own softmax columns; each
         # shard's dtable covers its own rows but only this data-shard's
@@ -248,6 +250,7 @@ def sharded_streaming_ce(
     block_b: int = 256,
     block_v: int = 4096,
     interpret: bool | None = None,
+    dtype: str | None = None,  # per-shard tile compute dtype (see pallas_ce)
 ) -> jnp.ndarray:
     """Per-example full-catalog CE via per-shard streaming Pallas sweeps.
 
@@ -258,7 +261,7 @@ def sharded_streaming_ce(
         table.shape, dict(mesh.shape)
     )
     return _sce(states, table, answers, mesh, model_axis, data_axis,
-                block_b, block_v, interpret)
+                block_b, block_v, interpret, dtype)
 
 
 def sharded_streaming_topk(

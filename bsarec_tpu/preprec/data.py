@@ -37,8 +37,6 @@ class PrepRecDataset:
     seq_lens: np.ndarray  # [U] true (train) history lengths, cl4srec
     usernum: int
     itemnum: int
-    # per-user full item sets for negative sampling, padded with 0
-    user_items: np.ndarray  # [U, S]
 
     @property
     def eligible_users(self) -> np.ndarray:
@@ -70,8 +68,6 @@ def load_intwtime(path: str, maxlen: int, sparse: bool = False) -> PrepRecDatase
     te_i, te_1, te_2 = (zeros(usernum) for _ in range(3))
     te_e = zeros((usernum, maxlen))
     lens = zeros(usernum)
-    max_hist = max(len(v) for v in users.values())
-    uitems = zeros((usernum, max_hist))
 
     for u, rows in users.items():
         items = [r[0] for r in rows]
@@ -79,7 +75,6 @@ def load_intwtime(path: str, maxlen: int, sparse: bool = False) -> PrepRecDatase
         t2s = [r[2] for r in rows]
         tes = [r[3] for r in rows]
         r = u - 1
-        uitems[r, : len(items)] = items
 
         uselen = min(maxlen + 2, len(tes))
         gaps = np.array(tes[-uselen + 1 :]) - np.array(tes[-uselen:-1])
@@ -109,7 +104,7 @@ def load_intwtime(path: str, maxlen: int, sparse: bool = False) -> PrepRecDatase
 
     return PrepRecDataset(
         tr_s, tr_1, tr_2, tr_e, v_i, v_1, v_2, v_e, te_i, te_1, te_2, te_e,
-        lens, usernum, itemnum, uitems,
+        lens, usernum, itemnum,
     )
 
 

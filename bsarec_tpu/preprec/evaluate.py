@@ -162,13 +162,15 @@ def ensemble_ranks(scores: np.ndarray, loaded: np.ndarray, alphas, rng: np.rando
     """Blend saved scores with fresh ones and re-rank (reference
     `repo-b/utils.py:548-551`: total = alpha*new + (1-alpha)*saved; the
     ground truth sits in column 0). Returns one rank array per alpha.
-    Ties use the same randomized break as every other ranking path."""
+
+    The reference's ensemble path ranks with a plain argsort — NO random
+    tie-break (only the non-ensemble path randomizes ties): with rng
+    None, ties count strictly-greater scores only, matching that. Pass
+    the run rng explicitly to opt into randomized ties."""
+    blends = [alpha * scores + (1.0 - alpha) * loaded for alpha in alphas]
     if rng is None:
-        rng = np.random.default_rng(0)
-    return [
-        _tiebroken_ranks(alpha * scores + (1.0 - alpha) * loaded, rng)
-        for alpha in alphas
-    ]
+        return [np.sum(b > b[:, :1], axis=1) for b in blends]
+    return [_tiebroken_ranks(b, rng) for b in blends]
 
 
 def make_eval_fn(model, cfg: PrepRecConfig, pop_enc, eval_pop, batch: int, num_users: int, return_scores: bool = False):

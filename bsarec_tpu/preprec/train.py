@@ -199,9 +199,12 @@ class PrepRecTrainer:
                     {"params": p}, seq, pos, neg, train=True, rngs={"dropout": dkey}
                 )
                 loss = masked_pair_bce(pos_l, neg_l, (pos != 0).astype(jnp.float32))
-                if tcfg.l2_emb:
+                if tcfg.l2_emb and "item_emb" in p:
                     # torch.norm(item_emb) per parameter: Frobenius norm,
-                    # not squared (repo-b/train_test.py:58-59)
+                    # not squared (repo-b/train_test.py:58-59). The
+                    # reference applies l2_emb only in its sasrec branch;
+                    # models without an item table (newrec's popularity
+                    # encoding) skip the term rather than KeyError.
                     emb = p["item_emb"]["embedding"]
                     loss = loss + tcfg.l2_emb * jnp.sqrt(jnp.sum(emb * emb))
                 return loss
@@ -366,13 +369,18 @@ class PrepRecTrainer:
                 k: jnp.asarray(getattr(inputs, k))
                 for k in ("seqs", "t1", "t2", "te", "cands", "cand_t1", "cand_t2", "users")
             }
-        if self._eval_fn is None:
+        # cache keyed by candidate shape: valid/test share [U, C] today,
+        # but an eval_method 1<->3 switch mid-run changes C — a single
+        # cached fn would then silently mis-shape (VERDICT r2 weak #6)
+        cands_shape = self._eval_arrays[mode]["cands"].shape
+        if self._eval_fn is None or self._eval_fn[0] != cands_shape:
             batch = self._eval_batch()
-            self._eval_fn, _ = make_eval_fn(
+            fn, _ = make_eval_fn(
                 self.model, self.cfg, self.pop_enc, self.eval_pop, batch, self.ds.usernum
             )
+            self._eval_fn = (cands_shape, fn)
         key, self.rng = jax.random.split(self.rng)
-        ranks = np.asarray(self._eval_fn(self.params, key, self._eval_arrays[mode]))
+        ranks = np.asarray(self._eval_fn[1](self.params, key, self._eval_arrays[mode]))
         return ranks
 
     def evaluate(self, mode: str, userpop: np.ndarray | None = None):

@@ -18,10 +18,18 @@ from __future__ import annotations
 import numpy as np
 
 
-def _load_state_dict(path: str) -> dict:
+def _load_state_dict(path_or_sd) -> dict:
+    """Accepts a checkpoint path, a torch state-dict, or an already
+    numpy-converted dict (the torch-parity tests pass live modules'
+    state_dicts straight through)."""
+    if isinstance(path_or_sd, dict):
+        first = next(iter(path_or_sd.values()))
+        if isinstance(first, np.ndarray):
+            return path_or_sd
+        return {k: np.asarray(v.detach().cpu().numpy()) for k, v in path_or_sd.items()}
     import torch
 
-    sd = torch.load(path, map_location="cpu")
+    sd = torch.load(path_or_sd, map_location="cpu")
     return {k: np.asarray(v.detach().numpy()) for k, v in sd.items()}
 
 
@@ -116,11 +124,81 @@ def import_fmlprec(path: str, num_layers: int = 2) -> dict:
     return params
 
 
+def import_duorec(path: str, num_layers: int = 2) -> dict:
+    """DuoRec shares SASRec's TransformerEncoder layout exactly
+    (`src/model/duorec.py:16-36`)."""
+    return import_sasrec(path, num_layers)
+
+
+def import_gru4rec(path: str, num_layers: int = 1) -> dict:
+    """`GRU4RecModel.state_dict()` (`src/model/gru4rec.py:17-39`) ->
+    our param tree. torch nn.GRU packs gates row-wise as [3H, in] in
+    (r, z, n) order; our GRULayer holds the transpose [in, 3H] with the
+    same column-block order. The base class's unused position/LayerNorm
+    entries are dropped (GRU4Rec's forward never touches them)."""
+    sd = _load_state_dict(path)
+    params = {"item_embeddings": {"embedding": sd["item_embeddings.weight"]}}
+    for i in range(num_layers):
+        params[f"gru_{i}"] = {
+            "w_ih": sd[f"gru_layers.weight_ih_l{i}"].T,
+            "w_hh": sd[f"gru_layers.weight_hh_l{i}"].T,
+        }
+    params["dense"] = _dense(sd, "dense")
+    return params
+
+
+def import_caser(path: str, max_seq_length: int = 50) -> dict:
+    """`CaserModel.state_dict()` (`src/model/caser.py:17-64`) -> our
+    param tree. Conv2d banks flatten to dense contractions: conv_h[i]
+    [nh, 1, i+1, H] -> [(i+1)*H, nh] (row-major (height, H) window
+    order matches our unfolded gather); conv_v [nv, 1, L, 1] -> [L, nv]."""
+    sd = _load_state_dict(path)
+    params = {
+        "item_embeddings": {"embedding": sd["item_embeddings.weight"]},
+        "user_embeddings": {"embedding": sd["user_embeddings.weight"]},
+        "conv_v_kernel": sd["conv_v.weight"][:, 0, :, 0].T,
+        "conv_v_bias": sd["conv_v.bias"],
+        "fc1": _dense(sd, "fc1"),
+        "fc2": _dense(sd, "fc2"),
+    }
+    for i in range(1, max_seq_length + 1):
+        w = sd[f"conv_h.{i - 1}.weight"]  # [nh, 1, i, H]
+        nh = w.shape[0]
+        params[f"conv_h_{i}_kernel"] = w.reshape(nh, -1).T  # [(i)*H, nh]
+        params[f"conv_h_{i}_bias"] = sd[f"conv_h.{i - 1}.bias"]
+    return params
+
+
+def import_fearec(path: str, num_layers: int = 2) -> dict:
+    """`FEARecModel.state_dict()` (`src/model/fearec.py:17-40,181-206`)
+    -> our param tree. Layer = {query,key,value,dense} Linears + LN;
+    the frequency-band machinery is parameter-free."""
+    sd = _load_state_dict(path)
+    params = _embeddings(sd)
+    for i in range(num_layers):
+        base = f"item_encoder.blocks.{i}"
+        params[f"block_{i}"] = {
+            "layer": {
+                "query": _dense(sd, f"{base}.layer.query"),
+                "key": _dense(sd, f"{base}.layer.key"),
+                "value": _dense(sd, f"{base}.layer.value"),
+                "dense": _dense(sd, f"{base}.layer.dense"),
+                "LayerNorm": _ln(sd, f"{base}.layer.LayerNorm"),
+            },
+            "feed_forward": _ffn(sd, f"{base}.feed_forward"),
+        }
+    return params
+
+
 TORCH_IMPORTERS = {
     "bsarec": import_bsarec,
     "sasrec": import_sasrec,
     "bert4rec": import_bert4rec,
     "fmlprec": import_fmlprec,
+    "duorec": import_duorec,
+    "gru4rec": import_gru4rec,
+    "caser": import_caser,
+    "fearec": import_fearec,
 }
 
 

@@ -304,6 +304,12 @@ class Trainer:
 
     def load(self, path: str | None = None, filter_fn=None):
         self.params = ckpt.load_params(self.params, path or self.checkpoint_path, filter_fn)
+        if self.mesh is not None:
+            # same rule as resume(): restored host arrays must get their
+            # mesh placement back, or fit()'s best-checkpoint reload
+            # would run the final test with a replicated (unsharded)
+            # item table — fatal at 10M-item scale.
+            self.params = self._apply_placement(self.params)
 
     # ---- crash recovery (beyond the reference: SURVEY.md §5) -------------
     @property

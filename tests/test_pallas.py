@@ -145,3 +145,34 @@ def test_streaming_ce_bf16_matches_dense_bf16():
     np.testing.assert_allclose(
         np.asarray(g_got[1]), np.asarray(g_want[1]), rtol=0.05, atol=6e-4
     )
+
+
+def test_streaming_ce_stats_out_of_range_gold_is_zero():
+    """ADVICE r2 (medium): with a tile-aligned catalog (vp == v) an
+    out-of-range answer used to clip onto the last REAL table row and
+    produce a silently wrong nonzero gold. The documented contract —
+    out-of-range ids contribute 0 gold, so loss_local == logz_local —
+    must hold without callers pre-mapping ids to -1."""
+    from bsarec_tpu.ops.pallas_ce import streaming_ce_stats
+
+    rng = np.random.default_rng(7)
+    b, v, h = 8, 256, 64  # v == 2*block_v -> vp == v (tile-aligned)
+    states = jnp.asarray(rng.normal(size=(b, h)).astype(np.float32))
+    table = jnp.asarray(rng.normal(size=(v, h)).astype(np.float32))
+    # another shard's gold: ids >= v, plus one >= n_valid within range
+    answers = jnp.asarray([v, v + 5, 2 * v - 1, -1, 3, v, v + 100, 250],
+                          dtype=jnp.int32)
+    loss, logz = streaming_ce_stats(
+        states, table, answers, n_valid=250, block_b=8, block_v=128,
+        interpret=True,
+    )
+    dense_logz = jax.nn.logsumexp(
+        jnp.where(jnp.arange(v)[None, :] < 250, states @ table.T, -jnp.inf),
+        axis=-1,
+    )
+    np.testing.assert_allclose(np.asarray(logz), np.asarray(dense_logz), rtol=1e-5)
+    # every answer is off-shard / invalid except index 4 (id 3)
+    gold = np.asarray(logz - loss)
+    want_gold = np.zeros(b, np.float32)
+    want_gold[4] = float((states[4] @ table[3]))
+    np.testing.assert_allclose(gold, want_gold, rtol=1e-5, atol=1e-5)

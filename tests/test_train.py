@@ -311,3 +311,29 @@ def test_cli_round2_flags_parse():
     assert model_cfg.compute_dtype == "bfloat16"
     assert train_cfg.multihost and train_cfg.mesh == "data:4,model:2"
     assert train_cfg.eval_impl == "streaming"
+
+
+def test_trainer_load_restores_mesh_placement(tmp_path):
+    """load() (fit()'s best-checkpoint reload path) must reapply mesh
+    placement like resume() does — restored host arrays would otherwise
+    silently lose the vocab sharding and the final test would run with a
+    replicated table (fatal at 10M-item scale)."""
+    import dataclasses
+
+    corpus = synthetic_corpus(n_items=31)
+    data = SeqRecData(corpus, max_len=10)
+    model_cfg = ModelConfig(
+        model_type="bsarec", item_size=corpus.item_size, num_users=corpus.num_users + 1,
+        max_seq_length=10, hidden_size=16, num_hidden_layers=1, num_attention_heads=1,
+        c=3, alpha=0.7,
+    )
+    cfg = TrainConfig(lr=0.01, batch_size=32, epochs=1, seed=7, mesh="data:4,model:2")
+    t = Trainer(model_cfg, cfg, data, _quiet_logger(), str(tmp_path / "m.ckpt"))
+    t.train(0)
+    before, _ = t.valid(0)
+    t.save()
+    t.load()
+    table = t.params["item_embeddings"]["embedding"]
+    assert "model" in str(table.sharding.spec), table.sharding
+    after, _ = t.valid(0)
+    np.testing.assert_allclose(np.asarray(after), np.asarray(before), atol=1e-6)
