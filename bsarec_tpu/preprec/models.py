@@ -384,12 +384,17 @@ class NewB4Rec(nn.Module):
         return 0.5 * feats * (1 + jnp.tanh(np.sqrt(2 / np.pi) * (feats + 0.044715 * feats**3)))
 
     def __call__(self, seq_feats, valid, cand_feats, *, train: bool = True):
-        """cand_feats: [B, T, C, F] -> log-softmax logits [B*T, C]."""
+        """cand_feats: [B, T, C, F] -> RAW candidate logits [B, T, C].
+
+        The reference then applies `LogSoftmax(dim=1)` — the TIME axis
+        of this [B, T, C] tensor (`model.py:295,398`), a shape quirk its
+        CrossEntropyLoss does not cancel — before the sampled CE. That
+        reference-exact normalization lives in the trainer
+        (`preprec/train.py:newb4rec_loss`), keeping the model output
+        reusable (predict scores are raw in the reference too)."""
         feats = self.encode(seq_feats, valid, train=train)
         cand = self.embed_layer(cand_feats)
-        logits = jnp.einsum("btcf,btf->btc", cand, feats)
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        return logp.reshape(-1, logp.shape[-1])
+        return jnp.einsum("btcf,btf->btc", cand, feats)
 
     def predict(self, seq_feats, valid, cand_feats):
         """cand_feats: [B, C, F] candidates at the last position."""

@@ -243,13 +243,21 @@ class PrepRecTrainer:
             cand_feats = pop(cands, ct1, ct2)
 
             def loss_fn(p, dkey):
-                logp = model.apply(
+                logits = model.apply(
                     {"params": p}, seq_feats, masked > 0, cand_feats,
                     train=True, rngs={"dropout": dkey},
-                )
-                valid = (labels.reshape(-1) != 0).astype(jnp.float32)
-                gold = logp[:, -1]  # appended label column
-                return -jnp.sum(gold * valid) / jnp.maximum(valid.sum(), 1.0)
+                )  # raw [B, T, C]
+                # reference-exact (`model.py:295,398` + `train_test.py:
+                # 189-193`): LogSoftmax over the TIME axis (dim=1 of the
+                # [B, T, C] tensor — a shape quirk, but it shifts each
+                # candidate column differently so the CE that follows
+                # does NOT cancel it), then CE over candidates with the
+                # appended label column as the target.
+                x = logits - jax.nn.logsumexp(logits, axis=1, keepdims=True)
+                logz = jax.nn.logsumexp(x, axis=-1)  # CE's own softmax
+                gold = x[..., -1]
+                valid = (labels != 0).astype(jnp.float32)
+                return jnp.sum((logz - gold) * valid) / jnp.maximum(valid.sum(), 1.0)
 
             return loss_fn
 
