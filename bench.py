@@ -69,7 +69,18 @@ def main():
     dt = time.time() - t0
     ex_per_sec = n_epochs * data.train.num_samples / dt
 
-    # eval throughput (users/s) as secondary info on stderr-ish line? keep single JSON line.
+    # full-catalog eval throughput (22,363 users x 12,102-item catalog,
+    # on-device scoring + seen-masking + top-20; reference: ~3,250
+    # users/s GPU+host-numpy). Each valid() forces a host readback of
+    # the metric sums, so wall-clock over k rounds is trustworthy.
+    trainer.valid(0)  # compile
+    n_evals = 3
+    t0 = time.time()
+    for _ in range(n_evals):
+        trainer.valid(0)
+    users_per_sec = n_evals * data.valid.num_users / (time.time() - t0)
+
+    # one driver-parsed JSON line; eval throughput rides as extra fields
     print(
         json.dumps(
             {
@@ -77,6 +88,8 @@ def main():
                 "value": round(ex_per_sec, 1),
                 "unit": "examples/s",
                 "vs_baseline": round(ex_per_sec / BASELINE_EXAMPLES_PER_SEC, 3),
+                "eval_users_per_sec": round(users_per_sec, 1),
+                "eval_vs_baseline": round(users_per_sec / 3_250.0, 1),
             }
         )
     )

@@ -47,6 +47,11 @@ def run_child(process_id: int | None, port: int, nprocs: int) -> list[float]:
     process_id is given, single-process otherwise."""
     import jax
 
+    # restrict backend discovery to cpu BEFORE init: JAX_PLATFORM_NAME
+    # alone still initializes the axon PJRT plugin, which hangs forever
+    # if the TPU relay is wedged (the children must be TPU-independent)
+    jax.config.update("jax_platforms", "cpu")
+
     if process_id is not None:
         from bsarec_tpu.data.multihost import init_distributed
 
@@ -85,6 +90,9 @@ def run_child(process_id: int | None, port: int, nprocs: int) -> list[float]:
     train_cfg = TrainConfig(
         lr=0.01, batch_size=32, epochs=N_EPOCHS, seed=11, log_freq=100,
         mesh=MESH, multihost=True,
+        # correctness harness on 1-core CPU hosts: keep the epoch-scan
+        # body single-copy so three sequential compiles stay cheap
+        scan_unroll=1,
     )
     logger = logging.getLogger("mp")
     logger.addHandler(logging.NullHandler())

@@ -80,11 +80,13 @@ class TrainConfig:
     # data axis; "data:N,model:M" = explicit 2-D mesh (model shards the
     # item table rows / logit columns). See core/mesh.py.
     mesh: str = ""
-    # epoch-scan unroll factor: 2 halves scan-loop overhead on small
-    # models; 1 halves peak activation memory (XLA schedules the
+    # epoch-scan unroll factor. Measured on the Beauty parity config
+    # (v5e, rbg dropout): 2 -> 245k, 4 -> 254k, 8 -> 260k ex/s, then a
+    # cliff (16/32 -> ~214k: the duplicated bodies blow the scheduling
+    # window). 1 halves peak activation memory (XLA schedules the
     # unrolled bodies' residuals concurrently) — use 1 for long-sequence
     # / many-layer configs that brush the HBM limit
-    scan_unroll: int = 2
+    scan_unroll: int = 8
     # rematerialize each encoder block's activations in the backward
     # (jax.checkpoint): trades ~1/3 more FLOPs for O(layers) less
     # residual memory — the standard long-context lever

@@ -1,0 +1,99 @@
+"""Dropout tuned for the TPU hardware RNG.
+
+Round-2 profiling (BASELINE.md "where the time goes") showed the p=0.5
+dropout masks dominate the Beauty step: with threefry they were ~40% of
+the step; switching to the rbg hardware generator got 154k -> 246.5k
+ex/s, and the residual gap to the 301k no-dropout ceiling is mask
+generation + apply. Two further levers land here:
+
+1. **One RNG bit per mask element** (p = 0.5 only, the reference's
+   training config): every generated uint32 already holds 32
+   independent Bernoulli(1/2) bits, so the mask draws 32x fewer
+   hardware-RNG words and unpacks with a shift+AND along the minor
+   axis (last dim padded up to a multiple of 32, then sliced).
+2. **No uint->float conversion** for other rates: `bits >= t` with
+   t = rate·2^32 replaces bernoulli's uniform-float construction —
+   one integer compare instead of a convert + float compare.
+
+Under threefry (`--prng threefry`) this module defers to
+`jax.random.bernoulli` with flax's exact formulation. (The stream still
+shifts relative to `nn.Dropout` because flax folds the rng with the
+module name — `FastDropout_0` vs `Dropout_0`; dropout streams carry no
+bit-parity contract, only distribution.)
+"""
+
+from __future__ import annotations
+
+import os
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+# rbg-path mask construction: "threshold" (integer compare on full-size
+# random words — measured fastest on v5e), "bits" (32x fewer RNG words
+# via bit-unpacking at p=0.5 — the unpack's shift/AND/pad work cancels
+# the RNG savings on the VPU), "bernoulli" (stock uniform-float path).
+# Read at trace time (not import) so sweeps can flip it per compile.
+def _strategy() -> str:
+    return os.environ.get("BSAREC_DROPOUT", "threshold")
+
+
+def _rbg_active() -> bool:
+    try:
+        return jax.config.jax_default_prng_impl == "rbg"
+    except AttributeError:  # pragma: no cover
+        return False
+
+
+def _keep_mask_bits(rng, shape) -> jnp.ndarray:
+    """Bernoulli(1/2) keep mask from unpacked hardware-RNG bits."""
+    last = shape[-1] if shape else 1
+    nwords = (last + 31) // 32
+    words = jax.random.bits(rng, tuple(shape[:-1]) + (nwords,), jnp.uint32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (words[..., None] >> shifts) & jnp.uint32(1)
+    bits = bits.reshape(tuple(shape[:-1]) + (nwords * 32,))[..., :last]
+    return bits.astype(jnp.bool_)
+
+
+def fast_dropout(rng, rate: float, x: jnp.ndarray) -> jnp.ndarray:
+    """Dropout with hardware-RNG-friendly mask construction (see
+    module docstring). Semantics: iid Bernoulli(1-rate) keep mask,
+    kept values scaled by 1/(1-rate) — the same distribution as
+    `flax.linen.Dropout`, on a different random stream."""
+    keep_prob = 1.0 - rate
+    strategy = _strategy()
+    if strategy == "bernoulli":
+        keep = jax.random.bernoulli(rng, p=keep_prob, shape=x.shape)
+    elif strategy == "bits" and rate == 0.5:
+        keep = _keep_mask_bits(rng, x.shape)
+    else:
+        t = jnp.uint32(min(int(rate * (1 << 32)), (1 << 32) - 1))
+        keep = jax.random.bits(rng, x.shape, jnp.uint32) >= t
+    return jax.lax.select(keep, x / jnp.asarray(keep_prob, x.dtype),
+                          jnp.zeros_like(x))
+
+
+class FastDropout(nn.Module):
+    """Drop-in `nn.Dropout` replacement: hardware-RNG fast path when
+    the session PRNG is rbg, `nn.Dropout`'s bernoulli construction
+    otherwise. `deterministic` may come from the constructor or the
+    call, like `nn.Dropout`."""
+
+    rate: float
+    deterministic: bool | None = None
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool | None = None):
+        deterministic = nn.merge_param(
+            "deterministic", self.deterministic, deterministic
+        )
+        if deterministic or self.rate == 0.0:
+            return x
+        rng = self.make_rng("dropout")
+        if _rbg_active():
+            return fast_dropout(rng, self.rate, x)
+        keep_prob = 1.0 - self.rate
+        mask = jax.random.bernoulli(rng, p=keep_prob, shape=x.shape)
+        return jax.lax.select(mask, x / keep_prob, jnp.zeros_like(x))

@@ -18,6 +18,8 @@ that split via a stop-gradient on padded positions.
 from __future__ import annotations
 
 import flax.linen as nn
+
+from bsarec_tpu.core.dropout import FastDropout
 import jax
 import jax.numpy as jnp
 
@@ -73,7 +75,7 @@ class SequentialRecModel(nn.Module):
             name="position_embeddings",
         )
         self.emb_layer_norm = TFLayerNorm(name="emb_layer_norm")
-        self.emb_dropout = nn.Dropout(cfg.hidden_dropout_prob)
+        self.emb_dropout = FastDropout(cfg.hidden_dropout_prob)
         self.setup_model()
 
     def setup_model(self):

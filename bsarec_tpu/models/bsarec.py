@@ -17,6 +17,8 @@ transpose (=itself) is the exact VJP of the reference's kept-bins path.
 from __future__ import annotations
 
 import flax.linen as nn
+
+from bsarec_tpu.core.dropout import FastDropout
 import jax.numpy as jnp
 
 from bsarec_tpu.models.base import SequentialRecModel
@@ -42,7 +44,7 @@ class FrequencyLayer(nn.Module):
         sqrt_beta = self.param("sqrt_beta", normal_init(1.0), (1, 1, cfg.hidden_size))
         proj = jnp.asarray(lowpass_projection_matrix(x.shape[1], self.c))
         h = frequency_filter(x.astype(dt), proj.astype(dt), sqrt_beta)
-        h = nn.Dropout(cfg.hidden_dropout_prob, deterministic=not train)(h)
+        h = FastDropout(cfg.hidden_dropout_prob, deterministic=not train)(h)
         return TFLayerNorm(name="LayerNorm")(h + x)
 
 

@@ -17,6 +17,8 @@ reference's `init_weights` does not touch Conv2d).
 from __future__ import annotations
 
 import flax.linen as nn
+
+from bsarec_tpu.core.dropout import FastDropout
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -67,7 +69,7 @@ class CaserModel(SequentialRecModel):
         init = normal_init(cfg.initializer_range)
         self.fc1 = nn.Dense(H, kernel_init=init, name="fc1")
         self.fc2 = nn.Dense(H, kernel_init=init, name="fc2")
-        self.fc_dropout = nn.Dropout(cfg.hidden_dropout_prob)
+        self.fc_dropout = FastDropout(cfg.hidden_dropout_prob)
 
     def forward(self, input_ids, user_ids=None, *, train: bool = False, all_layers: bool = False):
         cfg = self.config

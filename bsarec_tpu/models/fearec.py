@@ -28,6 +28,8 @@ from __future__ import annotations
 import math
 
 import flax.linen as nn
+
+from bsarec_tpu.core.dropout import FastDropout
 import jax
 import jax.numpy as jnp
 
@@ -157,14 +159,14 @@ class FEARecLayer(nn.Module):
         scores = jnp.einsum("bhld,bhmd->bhlm", qt, kt, preferred_element_type=jnp.float32)
         scores = scores / jnp.sqrt(jnp.float32(head_dim)) + attention_mask
         probs = jax.nn.softmax(scores, axis=-1)
-        probs = nn.Dropout(cfg.attention_probs_dropout_prob, deterministic=not train)(probs)
+        probs = FastDropout(cfg.attention_probs_dropout_prob, deterministic=not train)(probs)
         ctx_sp = jnp.einsum("bhlm,bhmd->bhld", probs, vt)
         ctx_sp = ctx_sp.transpose(0, 2, 1, 3).reshape(batch, seq_len, cfg.hidden_size)
 
         context = (1.0 - self.spatial_ratio) * context + self.spatial_ratio * ctx_sp
 
         out = nn.Dense(cfg.hidden_size, kernel_init=init, dtype=cfg.compute_dtype, name="dense")(context)
-        out = nn.Dropout(cfg.hidden_dropout_prob, deterministic=not train)(out)
+        out = FastDropout(cfg.hidden_dropout_prob, deterministic=not train)(out)
         return TFLayerNorm(name="LayerNorm")(out + x)
 
 

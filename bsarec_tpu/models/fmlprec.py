@@ -12,6 +12,8 @@ same data as a trailing size-2 axis).
 from __future__ import annotations
 
 import flax.linen as nn
+
+from bsarec_tpu.core.dropout import FastDropout
 import jax.numpy as jnp
 
 from bsarec_tpu.models.base import SequentialRecModel
@@ -31,7 +33,7 @@ class FMLPRecLayer(nn.Module):
         w_real = self.param("filter_real", normal_init(0.02), (1, freq, cfg.hidden_size))
         w_imag = self.param("filter_imag", normal_init(0.02), (1, freq, cfg.hidden_size))
         h = complex_filter_apply(x, w_real, w_imag)
-        h = nn.Dropout(cfg.hidden_dropout_prob, deterministic=not train)(h)
+        h = FastDropout(cfg.hidden_dropout_prob, deterministic=not train)(h)
         return TFLayerNorm(name="LayerNorm")(h + x)
 
 

@@ -15,6 +15,8 @@ import dataclasses
 from typing import Callable
 
 import flax.linen as nn
+
+from bsarec_tpu.core.dropout import FastDropout
 import jax
 import jax.numpy as jnp
 
@@ -88,7 +90,7 @@ class FeedForward(nn.Module):
         h = nn.Dense(4 * cfg.hidden_size, kernel_init=init, dtype=dt, name="dense_1")(x)
         h = ACT2FN[cfg.hidden_act](h)
         h = nn.Dense(cfg.hidden_size, kernel_init=init, dtype=dt, name="dense_2")(h)
-        h = nn.Dropout(cfg.hidden_dropout_prob, deterministic=not train)(h)
+        h = FastDropout(cfg.hidden_dropout_prob, deterministic=not train)(h)
         return TFLayerNorm(name="LayerNorm")(h + x)
 
 
@@ -117,14 +119,18 @@ class MultiHeadAttention(nn.Module):
         scores = scores / jnp.sqrt(jnp.float32(head_dim)).astype(scores.dtype)
         scores = scores + attention_mask
         probs = jax.nn.softmax(scores, axis=-1)
-        probs = nn.Dropout(cfg.attention_probs_dropout_prob, deterministic=not train)(probs)
+        # post-softmax attention maps for fig-2 spectral analysis
+        # (`src/visualize/figure2.ipynb`): no-op unless apply() requests
+        # mutable=["intermediates"]
+        self.sow("intermediates", "attention_probs", probs)
+        probs = FastDropout(cfg.attention_probs_dropout_prob, deterministic=not train)(probs)
         ctx = jnp.einsum(
             "bhlm,bhmd->bhld", probs.astype(dt), v, preferred_element_type=jnp.float32
         )
         ctx = ctx.transpose(0, 2, 1, 3).reshape(batch, seq_len, cfg.hidden_size)
 
         out = nn.Dense(cfg.hidden_size, kernel_init=init, dtype=dt, name="dense")(ctx)
-        out = nn.Dropout(cfg.hidden_dropout_prob, deterministic=not train)(out)
+        out = FastDropout(cfg.hidden_dropout_prob, deterministic=not train)(out)
         return TFLayerNorm(name="LayerNorm")(out + x)
 
 

@@ -65,3 +65,20 @@ def dump_sequence_outputs(layer_outputs, out_dir: str | Path, tag: str, iteratio
     root.mkdir(parents=True, exist_ok=True)
     for layer, h in enumerate(layer_outputs):
         np.save(root / f"{layer}layer_{iteration}iter.npy", np.asarray(h))
+
+
+def fig2_attention_response(attn: np.ndarray) -> np.ndarray:
+    """Notebook-exact Fig 2(b) curve (`src/visualize/figure2.ipynb` §2):
+    Λ = DFT·A·DFT⁻¹, row-mean, magnitude, first L//2+1 bins."""
+    length = attn.shape[-1]
+    dft_matrix = np.fft.fft(np.eye(length))
+    lam = dft_matrix @ attn @ np.linalg.inv(dft_matrix)
+    return np.abs(lam.mean(axis=1)[: length // 2 + 1])
+
+
+def fig2_fftshift(arr: np.ndarray, length: int = 50):
+    """Mirror a one-sided response about 0 frequency (`figure2.ipynb` §1)."""
+    freq = np.fft.rfftfreq(length)
+    x = np.concatenate([np.flip(-freq[1:]), freq])
+    y = np.concatenate([np.flip(arr[1:]), arr])
+    return x, y

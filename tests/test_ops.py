@@ -133,3 +133,39 @@ def test_masked_topk_and_metrics_match_reference_eval():
         )
         assert abs(got[f"HR@{k}"] - hr) < 1e-6, k
         assert abs(got[f"NDCG@{k}"] - ndcg) < 1e-5, k
+
+
+def test_fast_dropout_semantics():
+    """fast_dropout: iid Bernoulli(1-rate) keep + 1/(1-rate) scale, on
+    both the p=0.5 bit-unpack path and the integer-threshold path."""
+    import jax
+
+    from bsarec_tpu.core.dropout import fast_dropout
+
+    x = jnp.ones((64, 97))  # odd last dim: exercises pad+slice
+    for rate in (0.5, 0.2):
+        y = np.asarray(fast_dropout(jax.random.PRNGKey(0), rate, x))
+        zeros = (y == 0).mean()
+        kept = y[y != 0]
+        np.testing.assert_allclose(kept, 1.0 / (1.0 - rate), rtol=1e-6)
+        assert abs(zeros - rate) < 0.02, (rate, zeros)
+        # iid across the last axis (bit-unpack must not correlate lanes)
+        col_drop = (y == 0).mean(axis=0)
+        assert col_drop.std() < 0.15, col_drop.std()
+
+
+def test_fast_dropout_rbg_bitpath_on_rbg_keys():
+    """The p=0.5 path draws 32x fewer RNG words; the unpacked bits must
+    still be unbiased and independent between consecutive elements."""
+    import jax
+
+    from bsarec_tpu.core.dropout import _keep_mask_bits
+
+    bits = np.asarray(
+        _keep_mask_bits(jax.random.PRNGKey(3), (256, 64))
+    ).astype(np.int64)
+    assert abs(bits.mean() - 0.5) < 0.01
+    # lag-1 correlation along the unpacked axis ~ 0
+    a, b = bits[:, :-1].ravel(), bits[:, 1:].ravel()
+    corr = np.corrcoef(a, b)[0, 1]
+    assert abs(corr) < 0.02, corr
