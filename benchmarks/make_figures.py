@@ -29,6 +29,13 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# CPU-only by design; restrict backend discovery BEFORE init so a
+# wedged TPU relay can't hang the figure render (JAX_PLATFORM_NAME
+# alone still initializes every registered PJRT plugin)
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 OUT = os.path.join(REPO, "results", "fig2_fig3")
 CKPT = {
     "bsarec": os.path.join(REPO, "results/r2_runs/q2_Beauty_bsarec_rbg.ckpt"),

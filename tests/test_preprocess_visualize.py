@@ -137,3 +137,32 @@ def test_preprocess_cli_end_to_end(tmp_path):
     first = lines[0].split()
     assert all(tok.isdigit() for tok in first)
     assert len(first) - 1 >= 5  # user_core survived
+
+
+def test_fig2_attention_response_uniform_attention_is_pure_dc():
+    """Notebook-exact Fig 2(b) helper (`figure2.ipynb` §2): a uniform
+    averaging attention map passes ONLY the 0-frequency bin, and the
+    identity map passes all bins equally."""
+    from bsarec_tpu.utils.visualize import fig2_attention_response
+
+    length = 50
+    uniform = np.full((length, length), 1.0 / length)
+    resp = fig2_attention_response(uniform)
+    assert resp.shape == (length // 2 + 1,)
+    assert resp[0] > 1e-3
+    np.testing.assert_allclose(resp[1:], 0.0, atol=1e-12)
+
+    ident = fig2_attention_response(np.eye(length))
+    np.testing.assert_allclose(ident, ident[0], rtol=1e-9)
+
+
+def test_fig2_fftshift_mirrors_one_sided_response():
+    from bsarec_tpu.utils.visualize import fig2_fftshift
+
+    arr = np.arange(26, dtype=np.float64)
+    x, y = fig2_fftshift(arr, length=50)
+    assert x.shape == y.shape == (51,)
+    # symmetric frequencies, mirrored values, original at the center
+    np.testing.assert_allclose(x, -x[::-1])
+    np.testing.assert_allclose(y, y[::-1])
+    np.testing.assert_allclose(y[25:], arr)
