@@ -75,8 +75,9 @@ def main():
             c=9, alpha=0.7, compute_dtype=args.dtype,
         )
         # unroll=1 + remat: the L=200 4-layer contrastive models
-        # (FEARec trains 3 forwards/step) crash the worker with the
-        # default unroll=2 epoch scan (double peak residuals); remat
+        # (FEARec trains 3 forwards/step) crash the worker with an
+        # unrolled epoch scan (unrolling multiplies peak residual
+        # memory; the throughput-tuned default is 8 — config.py); remat
         # caps residual memory at the cost of a forward recompute
         train_cfg = TrainConfig(
             lr=1e-3, batch_size=256, seed=0, multihost=args.multihost,

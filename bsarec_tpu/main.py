@@ -16,6 +16,14 @@ from __future__ import annotations
 import argparse
 import os
 
+# Honor JAX_PLATFORM_NAME=cpu before any backend init: selecting cpu via
+# jax_platforms skips the axon TPU plugin entirely, so CPU CLI runs keep
+# working even when the TPU relay is unreachable (CLAUDE.md wedge rule).
+if os.environ.get("JAX_PLATFORM_NAME", "").lower() == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 from bsarec_tpu.config import ModelConfig, TrainConfig
@@ -101,6 +109,18 @@ def parse_args(argv=None):
     parser.add_argument("--attention_probs_dropout_prob", default=0.5, type=float)
     parser.add_argument("--hidden_dropout_prob", default=0.5, type=float)
     parser.add_argument("--initializer_range", default=0.02, type=float)
+    parser.add_argument(
+        "--scan_unroll", default=8, type=int,
+        help="epoch-scan unroll factor (8 = fastest on the parity "
+        "config; use 1 for long-sequence/many-layer configs that brush "
+        "the HBM limit — see TrainConfig.scan_unroll)",
+    )
+    parser.add_argument(
+        "--remat", action="store_true",
+        help="rematerialize encoder blocks in the backward "
+        "(jax.checkpoint): ~1/3 more FLOPs for O(layers) less residual "
+        "memory",
+    )
 
     args, _ = parser.parse_known_args(argv)
     mt = args.model_type.lower()
@@ -153,6 +173,8 @@ def configs_from_args(args, item_size: int, num_users: int):
         eval_impl=getattr(args, "eval_impl", "auto"),
         mesh=getattr(args, "mesh", ""),
         multihost=getattr(args, "multihost", False),
+        scan_unroll=getattr(args, "scan_unroll", 8),
+        remat=getattr(args, "remat", False),
     )
     return model_cfg, train_cfg
 

@@ -305,12 +305,14 @@ def test_cli_round2_flags_parse():
         "--alpha", "0.7", "--prng", "rbg", "--multihost",
         "--dtype", "bf16", "--mesh", "data:4,model:2",
         "--eval_impl", "streaming",
+        "--scan_unroll", "1", "--remat",
     ])
     assert args.prng == "rbg" and args.multihost
     model_cfg, train_cfg = configs_from_args(args, item_size=32, num_users=8)
     assert model_cfg.compute_dtype == "bfloat16"
     assert train_cfg.multihost and train_cfg.mesh == "data:4,model:2"
     assert train_cfg.eval_impl == "streaming"
+    assert train_cfg.scan_unroll == 1 and train_cfg.remat
 
 
 def test_trainer_load_restores_mesh_placement(tmp_path):
