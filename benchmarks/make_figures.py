@@ -45,17 +45,29 @@ CKPT = {
 USER_INDEX, HEAD = 75, 0  # the notebook's choice (`figure2.ipynb` §2)
 
 
+_DATA_CACHE = []
+
+
+def _beauty_data():
+    """Parse the Beauty corpus once per process (3 build() calls)."""
+    if not _DATA_CACHE:
+        from bsarec_tpu.data.corpus import load_corpus
+        from bsarec_tpu.data.pipeline import SeqRecData
+
+        corpus = load_corpus("/root/reference/src/data/Beauty.txt")
+        _DATA_CACHE.append(SeqRecData(corpus, max_len=50))
+    return _DATA_CACHE[0]
+
+
 def build(model_type, heads):
     import jax
 
     from bsarec_tpu.config import ModelConfig
-    from bsarec_tpu.data.corpus import load_corpus
-    from bsarec_tpu.data.pipeline import SeqRecData
     from bsarec_tpu.models import build_model
     from bsarec_tpu.train import checkpoint as ckptlib
 
-    corpus = load_corpus("/root/reference/src/data/Beauty.txt")
-    data = SeqRecData(corpus, max_len=50)
+    data = _beauty_data()
+    corpus = data.corpus
     cfg = ModelConfig(
         model_type=model_type, item_size=corpus.item_size,
         num_users=corpus.num_users + 1, max_seq_length=50, hidden_size=64,
@@ -140,13 +152,15 @@ def main():
 
 
 def _collect(tree, leaf_name):
+    from collections.abc import Mapping
+
     out = []
 
     def walk(t):
         for k, v in t.items():
             if k == leaf_name:
                 out.append(v)
-            elif isinstance(v, dict):
+            elif isinstance(v, Mapping):  # dict or flax FrozenDict
                 walk(v)
 
     walk(tree)

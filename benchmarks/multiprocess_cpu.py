@@ -123,7 +123,19 @@ def run_driver(port: int = 12357) -> int:
         )
         for i in range(2)
     ]
-    outs = [p.communicate(timeout=900)[0] for p in procs]
+    # inner timeouts must stay below any caller's (test_multihost.py
+    # gives the whole driver 850 s): on a hang, reap and kill OUR exact
+    # child pids here instead of leaving orphans holding the coordinator
+    # port after an outer kill.
+    try:
+        outs = [p.communicate(timeout=390)[0] for p in procs]
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        outs = [p.communicate()[0] for p in procs]
+        print(f"--- child hang (killed) ---\n{outs[0]}\n{outs[1]}")
+        return 1
     for i, p in enumerate(procs):
         if p.returncode != 0:
             print(f"--- child {i} failed (rc {p.returncode}) ---\n{outs[i]}")
@@ -134,7 +146,7 @@ def run_driver(port: int = 12357) -> int:
     single_p = subprocess.run(
         [sys.executable, here, "--single"],
         env=_child_env(8), stdout=subprocess.PIPE,
-        stderr=subprocess.STDOUT, text=True, timeout=900,
+        stderr=subprocess.STDOUT, text=True, timeout=390,
     )
     if single_p.returncode != 0:
         print(f"--- single-process run failed ---\n{single_p.stdout}")

@@ -204,9 +204,11 @@ def main(argv=None):
         if args.load_torch_model is not None:
             from bsarec_tpu.train.torch_import import import_torch_checkpoint
 
-            trainer.params = import_torch_checkpoint(
+            # install_params applies the run's mesh placement — a raw
+            # `trainer.params = ...` would leave the item table unsharded
+            trainer.install_params(import_torch_checkpoint(
                 args.model_type, args.load_torch_model, args.num_hidden_layers
-            )
+            ))
             logger.info(f"Imported torch checkpoint {args.load_torch_model} for test!")
         elif args.load_model is None:
             logger.info("No model input!")

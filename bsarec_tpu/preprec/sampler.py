@@ -59,6 +59,21 @@ def cloze_mask(key, tokens, itemnum, mask_prob):
     return masked, labels
 
 
+def newb4rec_candidates(key, masked, itemnum, compare):
+    """[B, T, compare+1] sampled-softmax candidate ids: `compare`
+    uniform draws in [1, itemnum] plus the reference-exact gold column —
+    the MASKED INPUT token, not the label (`repo-b/model.py:382-390`:
+    the comment there says "appending actual labels" but the code
+    appends `seqs`, so at a supervised position the gold candidate is
+    the mask token (80%), a random item (10%), or the true item (10%)
+    per the cloze rule). The CE in `train.py:newb4rec_loss` targets this
+    last column at labels != 0 (`repo-b/train_test.py:189-193`)."""
+    rand_c = jax.random.randint(
+        key, masked.shape + (compare,), 1, itemnum + 1, dtype=jnp.int32
+    )
+    return jnp.concatenate([rand_c, masked[..., None]], axis=-1)
+
+
 def permute_user_items(key, rows):
     """Random order of each row's nonzero items, right-padded with 0
     (BPRMF sampler, `repo-b/utils.py:191-216`)."""

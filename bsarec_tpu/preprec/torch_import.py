@@ -19,23 +19,10 @@ Key layouts mapped (all torch Linear kernels transposed [out, in] ->
 
 from __future__ import annotations
 
-import numpy as np
-
-
-def _sd(path_or_sd) -> dict:
-    if isinstance(path_or_sd, dict):
-        first = next(iter(path_or_sd.values()))
-        if isinstance(first, np.ndarray):
-            return path_or_sd
-        return {k: np.asarray(v.detach().cpu().numpy()) for k, v in path_or_sd.items()}
-    import torch
-
-    sd = torch.load(path_or_sd, map_location="cpu")
-    return {k: np.asarray(v.detach().numpy()) for k, v in sd.items()}
-
-
-def _dense(sd, prefix):
-    return {"kernel": sd[f"{prefix}.weight"].T, "bias": sd[f"{prefix}.bias"]}
+# state-dict normalization and Linear transpose are shared with the
+# src-zoo importer; only _ln differs (flax nn.LayerNorm uses 'scale',
+# the src zoo's TFLayerNorm uses 'weight')
+from bsarec_tpu.train.torch_import import _dense, _load_state_dict as _sd
 
 
 def _ln(sd, prefix):

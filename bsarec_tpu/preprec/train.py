@@ -38,6 +38,7 @@ from bsarec_tpu.preprec.sampler import (
     augment_batch,
     cloze_mask,
     draw_user_batches,
+    newb4rec_candidates,
     permute_user_items,
     positional_negatives,
 )
@@ -233,10 +234,9 @@ class PrepRecTrainer:
             t2 = self._dev["train_t2"][users - 1][:, 1:]
             mkey, ckey = jax.random.split(key)
             masked, labels = cloze_mask(mkey, rows, itemnum, cfg.mask_prob)
-            rand_c = jax.random.randint(
-                ckey, rows.shape + (compare,), 1, itemnum + 1, dtype=jnp.int32
-            )
-            cands = jnp.concatenate([rand_c, labels[..., None]], axis=-1)
+            # reference-exact gold column: the masked input token, not
+            # the label (see sampler.newb4rec_candidates)
+            cands = newb4rec_candidates(ckey, masked, itemnum, compare)
             ct1 = jnp.repeat(t1[..., None], compare + 1, axis=-1)
             ct2 = jnp.repeat(t2[..., None], compare + 1, axis=-1)
             seq_feats = pop(masked, t1, t2)
@@ -252,7 +252,8 @@ class PrepRecTrainer:
                 # [B, T, C] tensor — a shape quirk, but it shifts each
                 # candidate column differently so the CE that follows
                 # does NOT cancel it), then CE over candidates with the
-                # appended label column as the target.
+                # appended gold column (the masked input token — see the
+                # candidate-construction comment above) as the target.
                 x = logits - jax.nn.logsumexp(logits, axis=1, keepdims=True)
                 logz = jax.nn.logsumexp(x, axis=-1)  # CE's own softmax
                 gold = x[..., -1]
@@ -377,18 +378,17 @@ class PrepRecTrainer:
                 k: jnp.asarray(getattr(inputs, k))
                 for k in ("seqs", "t1", "t2", "te", "cands", "cand_t1", "cand_t2", "users")
             }
-        # cache keyed by candidate shape: valid/test share [U, C] today,
-        # but an eval_method 1<->3 switch mid-run changes C — a single
-        # cached fn would then silently mis-shape (VERDICT r2 weak #6)
-        cands_shape = self._eval_arrays[mode]["cands"].shape
-        if self._eval_fn is None or self._eval_fn[0] != cands_shape:
+        # one cached fn is enough: make_eval_fn closes over batch and
+        # num_users only, and the jitted callable retraces per input
+        # shape — an eval_method 1<->3 switch (different candidate count
+        # C) just compiles a second specialization of the same fn
+        if self._eval_fn is None:
             batch = self._eval_batch()
-            fn, _ = make_eval_fn(
+            self._eval_fn, _ = make_eval_fn(
                 self.model, self.cfg, self.pop_enc, self.eval_pop, batch, self.ds.usernum
             )
-            self._eval_fn = (cands_shape, fn)
         key, self.rng = jax.random.split(self.rng)
-        ranks = np.asarray(self._eval_fn[1](self.params, key, self._eval_arrays[mode]))
+        ranks = np.asarray(self._eval_fn(self.params, key, self._eval_arrays[mode]))
         return ranks
 
     def evaluate(self, mode: str, userpop: np.ndarray | None = None):

@@ -303,13 +303,18 @@ class Trainer:
         ckpt.save_params(self.params, path or self.checkpoint_path)
 
     def load(self, path: str | None = None, filter_fn=None):
-        self.params = ckpt.load_params(self.params, path or self.checkpoint_path, filter_fn)
+        self.install_params(
+            ckpt.load_params(self.params, path or self.checkpoint_path, filter_fn)
+        )
+
+    def install_params(self, params):
+        """Adopt an externally-produced host param tree (checkpoint
+        restore, torch import). Same rule as resume(): host arrays must
+        get their mesh placement back, or the final test would run with
+        a replicated (unsharded) item table — fatal at 10M-item scale."""
         if self.mesh is not None:
-            # same rule as resume(): restored host arrays must get their
-            # mesh placement back, or fit()'s best-checkpoint reload
-            # would run the final test with a replicated (unsharded)
-            # item table — fatal at 10M-item scale.
-            self.params = self._apply_placement(self.params)
+            params = self._apply_placement(params)
+        self.params = params
 
     # ---- crash recovery (beyond the reference: SURVEY.md §5) -------------
     @property

@@ -205,6 +205,27 @@ def test_cloze_mask_statistics():
     assert (np.asarray(l2) == 0).all()
 
 
+def test_newb4rec_candidates_gold_is_masked_input():
+    """Reference-exact sampled-softmax candidates (`repo-b/model.py:
+    382-390`): the appended gold column is the MASKED INPUT token — the
+    reference's comment says "actual labels" but its code appends
+    `seqs` — so after cloze masking the gold is usually the mask token,
+    not the label."""
+    from bsarec_tpu.preprec.sampler import newb4rec_candidates
+
+    key = jax.random.PRNGKey(3)
+    tokens = jnp.ones((32, 20), jnp.int32) * 9
+    masked, labels = cloze_mask(key, tokens, itemnum=50, mask_prob=0.5)
+    cands = np.asarray(newb4rec_candidates(jax.random.PRNGKey(4), masked, 50, 6))
+    assert cands.shape == (32, 20, 7)
+    np.testing.assert_array_equal(cands[..., -1], np.asarray(masked))
+    # at supervised positions the gold differs from the label wherever
+    # the cloze rule replaced the token (the 80%+10% branches)
+    sel = np.asarray(labels != 0)
+    assert (cands[..., -1][sel] != np.asarray(labels)[sel]).mean() > 0.5
+    assert ((cands[..., :-1] >= 1) & (cands[..., :-1] <= 50)).all()
+
+
 def test_permute_user_items():
     key = jax.random.PRNGKey(1)
     rows = jnp.asarray(np.array([[0, 0, 3, 5, 9], [0, 0, 0, 2, 4]], np.int32))

@@ -339,3 +339,12 @@ def test_trainer_load_restores_mesh_placement(tmp_path):
     assert "model" in str(table.sharding.spec), table.sharding
     after, _ = t.valid(0)
     np.testing.assert_allclose(np.asarray(after), np.asarray(before), atol=1e-6)
+
+    # install_params (the --load_torch_model path in main.py) must apply
+    # the same placement to plain host arrays
+    host_params = jax.tree.map(np.asarray, t.params)
+    t.install_params(host_params)
+    table = t.params["item_embeddings"]["embedding"]
+    assert "model" in str(table.sharding.spec), table.sharding
+    again, _ = t.valid(0)
+    np.testing.assert_allclose(np.asarray(again), np.asarray(before), atol=1e-6)
