@@ -45,6 +45,11 @@ def parse_args(argv=None):
         "--load_torch_model", default=None, type=str,
         help="path to a reference PyTorch .pt state-dict to import",
     )
+    parser.add_argument(
+        "--export_topk", default=None, type=str,
+        help="serving export: write the [num_users, 20] seen-masked "
+        "top-k item ids from the final/test model to this .npy path",
+    )
     parser.add_argument("--train_name", default=get_local_time(), type=str)
     parser.add_argument(
         "--profile", default=None, type=str,
@@ -221,6 +226,12 @@ def main(argv=None):
         start_epoch = trainer.resume() if args.resume else 0
         with trace(args.profile):
             scores, result_info = trainer.fit(start_epoch)
+
+    if args.export_topk:
+        topk = trainer.export_topk("test")
+        np.save(args.export_topk, topk)
+        logger.info(f"exported top-{topk.shape[1]} item ids for "
+                    f"{topk.shape[0]} users to {args.export_topk}")
 
     logger.info(args.train_name)
     logger.info(result_info)

@@ -201,7 +201,7 @@ def build_train_step(model, tx, item_size: int, with_sem: bool, mesh=None, remat
 STREAMING_RANK_MIN_VOCAB = 262_144
 
 
-def build_eval_fn(model, item_size: int, batch_size: int, num_users: int, impl: str = "auto", mesh=None, dtype: str = "float32"):
+def build_eval_fn(model, item_size: int, batch_size: int, num_users: int, impl: str = "auto", mesh=None, dtype: str = "float32", collect_topk: bool = False):
     """Returns a jitted `evaluate(params, inputs, answers, seen) ->
     metric sums` (see `ops.topk.topk_metrics` layout).
 
@@ -213,7 +213,11 @@ def build_eval_fn(model, item_size: int, batch_size: int, num_users: int, impl: 
     [m, B, W] bitmask stack from `build_seen_bitmask_sharded`);
     "auto" picks streaming on TPU for production-scale catalogs.
     `dtype` is the scoring-matmul compute dtype (the bf16 policy).
-    """
+
+    collect_topk: the serving/export variant — the jitted fn instead
+    returns the [num_users, 20] top-k ITEM IDS per user (catalog row i
+    is item id i), seen-items masked, the same ranking the metrics are
+    computed from (`--export_topk`)."""
     steps = math.ceil(num_users / batch_size)
     padded = steps * batch_size
     if impl == "auto":
@@ -259,10 +263,14 @@ def build_eval_fn(model, item_size: int, batch_size: int, num_users: int, impl: 
                     preferred_element_type=jnp.float32,
                 )
                 _, topk_idx = masked_topk(logits, seen[safe])
+            if collect_topk:
+                return sums, topk_idx
             return sums + topk_metrics(topk_idx, answers[safe], valid), None
 
         init = jnp.zeros((9,), jnp.float32)
-        sums, _ = jax.lax.scan(body, init, idx_all)
+        sums, per_batch = jax.lax.scan(body, init, idx_all)
+        if collect_topk:
+            return per_batch.reshape(padded, -1)[:num_users]
         return sums
 
     return jax.jit(evaluate), steps, impl

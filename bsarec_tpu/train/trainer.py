@@ -299,6 +299,24 @@ class Trainer:
     def test(self, epoch: int):
         return self._evaluate("test", epoch)
 
+    def export_topk(self, split: str = "test") -> np.ndarray:
+        """Serving export: [num_users, 20] top-k item ids per user —
+        full-catalog scoring, seen-items masked, the exact ranking the
+        HR/NDCG metrics are computed from (`--export_topk`). Built on
+        demand; reuses the eval arrays already resident in HBM."""
+        fn, _, _ = build_eval_fn(
+            self.model,
+            self.model_cfg.item_size,
+            self.train_cfg.eval_batch_size,
+            self.data.valid.num_users,
+            impl=self.train_cfg.eval_impl,
+            mesh=self.mesh,
+            dtype=self.model_cfg.compute_dtype,
+            collect_topk=True,
+        )
+        dev = self._eval_dev[split]
+        return np.asarray(fn(self.params, dev["inputs"], dev["answers"], dev["seen"]))
+
     def save(self, path: str | None = None):
         ckpt.save_params(self.params, path or self.checkpoint_path)
 

@@ -315,6 +315,42 @@ def test_cli_round2_flags_parse():
     assert train_cfg.scan_unroll == 1 and train_cfg.remat
 
 
+def test_export_topk_matches_eval_ranking(tmp_path):
+    """export_topk (--export_topk serving path): [num_users, 20] item
+    ids, seen-masked, and the exact ranking the metrics come from —
+    HR@20 recomputed from the export equals the test() metric."""
+    corpus = synthetic_corpus()
+    data = SeqRecData(corpus, max_len=10)
+    model_cfg = ModelConfig(
+        model_type="sasrec", item_size=corpus.item_size,
+        num_users=corpus.num_users + 1, max_seq_length=10, hidden_size=16,
+        num_hidden_layers=1, num_attention_heads=1,
+    )
+    cfg = TrainConfig(lr=0.01, batch_size=32, epochs=1, seed=3)
+    t = Trainer(model_cfg, cfg, data, _quiet_logger(), str(tmp_path / "e.ckpt"))
+    t.train(0)
+    scores, _ = t.test(0)
+    topk = t.export_topk("test")
+    assert topk.shape == (data.test.num_users, 20)
+    # HR@20 recomputed from the exported ids equals test()'s metric
+    hr20 = float(np.mean([data.test.answers[u] in topk[u] for u in range(topk.shape[0])]))
+    np.testing.assert_allclose(hr20, scores[4], atol=1e-6)  # scores[4] = HR@20
+    # independent recomputation: forward + reference zero-masking
+    # (`masked_topk` zeroes seen scores like src/trainers.py:134 — it
+    # does not -inf them) must reproduce the exported rows exactly
+    from bsarec_tpu.ops.topk import masked_topk
+
+    out = t.model.apply(
+        {"params": t.params}, jnp.asarray(data.test.input_ids[:8]),
+        method="predict",
+    )[:, -1, :]
+    logits = jnp.einsum(
+        "bh,vh->bv", out, t.params["item_embeddings"]["embedding"][:corpus.item_size]
+    )
+    _, expect = masked_topk(logits, jnp.asarray(data.test.seen_items[:8]))
+    np.testing.assert_array_equal(topk[:8], np.asarray(expect))
+
+
 def test_trainer_load_restores_mesh_placement(tmp_path):
     """load() (fit()'s best-checkpoint reload path) must reapply mesh
     placement like resume() does — restored host arrays would otherwise
