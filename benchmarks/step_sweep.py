@@ -65,7 +65,7 @@ def main() -> None:
     else:
         # strategy is read at trace time, so flipping the env var between
         # points retraces with the new mask construction
-        for strat in ("threshold", "bernoulli", "bits"):
+        for strat in ("threshold", "u8", "bernoulli", "bits"):
             os.environ["BSAREC_DROPOUT"] = strat
             results[strat] = round(run_point(data, 8), 1)
             print(strat, results[strat], flush=True)

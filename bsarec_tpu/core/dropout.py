@@ -33,7 +33,10 @@ import jax.numpy as jnp
 # rbg-path mask construction: "threshold" (integer compare on full-size
 # random words — measured fastest on v5e), "bits" (32x fewer RNG words
 # via bit-unpacking at p=0.5 — the unpack's shift/AND/pad work cancels
-# the RNG savings on the VPU), "bernoulli" (stock uniform-float path).
+# the RNG savings on the VPU), "u8" (4x fewer RNG words bitcast to
+# uint8 lanes — no shifts, one compare; drop rate quantized to the
+# nearest 1/256, exact at the reference's p=0.5), "bernoulli" (stock
+# uniform-float path).
 # Read at trace time (not import) so sweeps can flip it per compile.
 def _strategy() -> str:
     return os.environ.get("BSAREC_DROPOUT", "threshold")
@@ -57,6 +60,22 @@ def _keep_mask_bits(rng, shape) -> jnp.ndarray:
     return bits.astype(jnp.bool_)
 
 
+def _keep_mask_u8(rng, rate: float, shape) -> jnp.ndarray:
+    """Keep mask from uint8 lanes bitcast out of 4x fewer rbg words.
+
+    Unlike the 1-bit unpack, the bitcast is a pure relayout (no
+    shift/AND), so the 4x RNG-word saving isn't spent on VPU unpack
+    work. The drop probability is quantized to round(rate*256)/256 —
+    exact for the reference's p=0.5 (t=128), off by <1/512 otherwise.
+    """
+    last = shape[-1] if shape else 1
+    nwords = (last + 3) // 4
+    words = jax.random.bits(rng, tuple(shape[:-1]) + (nwords,), jnp.uint32)
+    lanes = jax.lax.bitcast_convert_type(words, jnp.uint8)  # [..., nwords, 4]
+    lanes = lanes.reshape(tuple(shape[:-1]) + (nwords * 4,))[..., :last]
+    return lanes >= jnp.uint8(min(round(rate * 256), 255))
+
+
 def fast_dropout(rng, rate: float, x: jnp.ndarray) -> jnp.ndarray:
     """Dropout with hardware-RNG-friendly mask construction (see
     module docstring). Semantics: iid Bernoulli(1-rate) keep mask,
@@ -68,6 +87,8 @@ def fast_dropout(rng, rate: float, x: jnp.ndarray) -> jnp.ndarray:
         keep = jax.random.bernoulli(rng, p=keep_prob, shape=x.shape)
     elif strategy == "bits" and rate == 0.5:
         keep = _keep_mask_bits(rng, x.shape)
+    elif strategy == "u8":
+        keep = _keep_mask_u8(rng, rate, x.shape)
     else:
         t = jnp.uint32(min(int(rate * (1 << 32)), (1 << 32) - 1))
         keep = jax.random.bits(rng, x.shape, jnp.uint32) >= t

@@ -154,6 +154,35 @@ def test_fast_dropout_semantics():
         assert col_drop.std() < 0.15, col_drop.std()
 
 
+def test_fast_dropout_u8_strategy(monkeypatch):
+    """BSAREC_DROPOUT=u8: masks from uint8 lanes bitcast out of 4x fewer
+    RNG words — exact Bernoulli at p=0.5, correct scale, no lane
+    correlation, odd last dims padded+sliced."""
+    import jax
+
+    from bsarec_tpu.core.dropout import fast_dropout
+
+    monkeypatch.setenv("BSAREC_DROPOUT", "u8")
+    for shape in ((64, 97), (64, 96), (5000,)):
+        x = jnp.ones(shape)
+        y = np.asarray(fast_dropout(jax.random.PRNGKey(7), 0.5, x))
+        zeros = (y == 0).mean()
+        kept = y[y != 0]
+        np.testing.assert_allclose(kept, 2.0, rtol=1e-6)
+        assert abs(zeros - 0.5) < 0.03, (shape, zeros)
+        if y.ndim == 2:
+            # iid across the last axis (bitcast lanes must not correlate)
+            col_drop = (y == 0).mean(axis=0)
+            assert col_drop.std() < 0.15, col_drop.std()
+            flat = (y == 0).astype(np.int64)
+            a, b = flat[:, :-1].ravel(), flat[:, 1:].ravel()
+            assert abs(np.corrcoef(a, b)[0, 1]) < 0.03
+    # non-dyadic rate: quantized to nearest 1/256 (documented contract)
+    y = np.asarray(fast_dropout(jax.random.PRNGKey(8), 0.2, jnp.ones((512, 128))))
+    assert abs((y == 0).mean() - round(0.2 * 256) / 256) < 0.01
+    np.testing.assert_allclose(y[y != 0], 1.25, rtol=1e-6)
+
+
 def test_fast_dropout_rbg_bitpath_on_rbg_keys():
     """The p=0.5 path draws 32x fewer RNG words; the unpacked bits must
     still be unbiased and independent between consecutive elements."""
