@@ -113,6 +113,7 @@ def main():
         fig3[name] = {
             "cos": layerwise_cosine_similarity([np.asarray(o) for o in outs]),
             "svd": [s[:64] for s in layerwise_singular_values([np.asarray(o) for o in outs])],
+            "outs": [np.asarray(o) for o in outs],
         }
         if name == "bsarec":
             # A_IB: the frequency branch's exact linear map on the seq
@@ -146,9 +147,72 @@ def main():
     np.save(f"{OUT}/fig3_svd_bsarec.npy", np.stack(fig3["bsarec"]["svd"]))
     np.save(f"{OUT}/fig3_svd_sasrec.npy", np.stack(fig3["sasrec"]["svd"]))
 
+    # notebook-exact Fig 3 variant on OUR models: pairwise cosine across
+    # sequences' last-position states (figure3.ipynb feeds [:, -1, :]),
+    # not across positions
+    from bsarec_tpu.utils.visualize import fig3_sequence_cosine
+
+    np.save(f"{OUT}/fig3_cosine_lastpos.npy", np.array([
+        [fig3_sequence_cosine(np.asarray(o)[:, -1, :]) for o in fig3[m]["outs"]]
+        for m in ("bsarec", "sasrec")
+    ]))
+
+    ref_dump_fig3()
     _plot(curves, fig3)
     _readme()
     print(f"wrote {OUT}")
+
+
+REF_DUMPS = "/root/reference/src/visualize/sequence_output"
+
+
+def ref_dump_fig3():
+    """Fig 3 computed from the REFERENCE's own shipped LastFM per-layer
+    sequence outputs (`sequence_output/LastFM_*/`), notebook-exact: our
+    analysis code reproducing the paper's oversmoothing figure from the
+    authors' data. Writes [4, 17] cosine curves + final-layer normalized
+    singular values + a .png."""
+    import os
+
+    from bsarec_tpu.utils.visualize import (
+        fig3_normalized_svdvals,
+        fig3_sequence_cosine,
+        load_sequence_outputs,
+    )
+
+    models = ("SASRec", "BSARec", "FMLPRec", "DuoRec")
+    if not all(os.path.isdir(f"{REF_DUMPS}/LastFM_{m}") for m in models):
+        print("reference sequence_output dumps not mounted; skipping")
+        return
+    cos, svd = {}, {}
+    for m in models:
+        layers = load_sequence_outputs(f"{REF_DUMPS}/LastFM_{m}")
+        cos[m] = [fig3_sequence_cosine(x) for x in layers]
+        svd[m] = fig3_normalized_svdvals(layers[-1])
+    np.save(f"{OUT}/fig3_refdata_cosine.npy", np.array([cos[m] for m in models]))
+    np.save(f"{OUT}/fig3_refdata_svd.npy", np.array([svd[m] for m in models]))
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(1, 2, figsize=(11, 4))
+    for m in models:
+        axes[0].plot(range(len(cos[m])), cos[m], marker="o", label=m)
+        axes[1].plot(svd[m], label=m)
+    axes[0].set_title("Fig 3 (left): cosine similarity — reference's dumps")
+    axes[0].set_xlabel("Number of Layers")
+    axes[0].set_ylabel("Cosine Similarity")
+    axes[0].legend(loc="upper left")
+    axes[0].grid(True)
+    axes[1].set_title("Fig 3 (right): normalized singular values (layer 16)")
+    axes[1].set_xlabel("Singular Value Index")
+    axes[1].set_ylabel("Normalized Singular Value")
+    axes[1].legend(loc="upper right")
+    axes[1].grid(True)
+    fig.tight_layout()
+    fig.savefig(f"{OUT}/fig3_refdata.png", dpi=150)
 
 
 def _collect(tree, leaf_name):
@@ -214,7 +278,15 @@ checkpoints (`results/r2_runs/q2_Beauty_bsarec_rbg.ckpt`,
   [1, F, H, 2].
 - `fig3_cosine.npy` — [bsarec, sasrec] layer-wise mean pairwise cosine
   similarity of positions (oversmoothing; higher = smoother).
+- `fig3_cosine_lastpos.npy` — the notebook-exact variant: pairwise
+  cosine across sequences' last-position states (`figure3.ipynb`
+  feeds `[:, -1, :]`).
 - `fig3_svd_*.npy` — normalized singular-value spectra per layer.
+- `fig3_refdata_{cosine,svd}.npy` + `fig3_refdata.png` — Fig 3
+  recomputed by our analysis code from the REFERENCE'S OWN shipped
+  LastFM per-layer dumps (`src/visualize/sequence_output/LastFM_*`,
+  [SASRec, BSARec, FMLPRec, DuoRec]) — reproduces the paper's
+  oversmoothing figure from the authors' data.
 - `fig2_fig3.png` — both panels rendered.
 
 Observed on these checkpoints: fig 2 reproduces the paper's read —

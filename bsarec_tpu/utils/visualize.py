@@ -60,6 +60,38 @@ def layerwise_singular_values(layer_outputs) -> list[np.ndarray]:
     return out
 
 
+def fig3_sequence_cosine(states: np.ndarray) -> float:
+    """Notebook-exact Fig 3 (left) point (`figure3.ipynb` cell 4):
+    pairwise cosine similarity across sequence-level representations
+    `states` [N, H] (the notebook feeds last-position hidden states),
+    diagonal zeroed (torchmetrics' default), mean over all N² entries."""
+    x = np.asarray(states, dtype=np.float64)
+    x = x / (np.linalg.norm(x, axis=-1, keepdims=True) + 1e-12)
+    gram = x @ x.T
+    np.fill_diagonal(gram, 0.0)
+    return float(gram.sum() / (gram.shape[0] * gram.shape[1]))
+
+
+def fig3_normalized_svdvals(states: np.ndarray) -> np.ndarray:
+    """Notebook-exact Fig 3 (right) curve (`figure3.ipynb` cell 6):
+    singular values of `states` [N, H] divided by the largest one."""
+    s = np.linalg.svd(np.asarray(states, dtype=np.float64), compute_uv=False)
+    return s / (s.max() + 1e-12)
+
+
+def load_sequence_outputs(dump_dir: str | Path, n_layers: int = 16) -> list[np.ndarray]:
+    """Load a reference-layout `sequence_output/<tag>/` directory
+    (`{L}layer_{i}iter.npy`, each [B, L, H]) the way `figure3.ipynb`'s
+    `get_seqout` does: last-position states, iterations concatenated,
+    one [N, H] array per layer 0..n_layers."""
+    root = Path(dump_dir)
+    per_layer: dict[int, list[np.ndarray]] = {i: [] for i in range(n_layers + 1)}
+    for f in sorted(root.iterdir()):
+        layer = int(f.name.split("layer_")[0])
+        per_layer[layer].append(np.load(f)[:, -1, :])
+    return [np.concatenate(per_layer[i]) for i in sorted(per_layer)]
+
+
 def dump_sequence_outputs(layer_outputs, out_dir: str | Path, tag: str, iteration: int) -> None:
     root = Path(out_dir) / tag
     root.mkdir(parents=True, exist_ok=True)

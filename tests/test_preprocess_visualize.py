@@ -166,3 +166,49 @@ def test_fig2_fftshift_mirrors_one_sided_response():
     np.testing.assert_allclose(x, -x[::-1])
     np.testing.assert_allclose(y, y[::-1])
     np.testing.assert_allclose(y[25:], arr)
+
+
+def test_fig3_sequence_cosine_notebook_semantics():
+    """fig3_sequence_cosine = torchmetrics pairwise_cosine_similarity
+    (diagonal zeroed) then .mean() over all N^2 entries, as in
+    figure3.ipynb cell 4 — pinned against an explicit loop."""
+    from bsarec_tpu.utils.visualize import fig3_sequence_cosine
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(7, 5))
+    n = len(x)
+    total = 0.0
+    for i in range(n):
+        for j in range(n):
+            if i == j:
+                continue
+            a, b = x[i], x[j]
+            total += a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert abs(fig3_sequence_cosine(x) - total / (n * n)) < 1e-12
+
+
+def test_fig3_load_sequence_outputs_reference_layout(tmp_path):
+    """load_sequence_outputs mirrors figure3.ipynb's get_seqout: per
+    layer, last-position states concatenated across iterations."""
+    from bsarec_tpu.utils.visualize import (
+        fig3_normalized_svdvals,
+        load_sequence_outputs,
+    )
+
+    rng = np.random.default_rng(1)
+    dumps = {}
+    for layer in range(3):
+        for it in range(2):
+            arr = rng.normal(size=(4, 6, 5))
+            np.save(tmp_path / f"{layer}layer_{it}iter.npy", arr)
+            dumps[(layer, it)] = arr
+    layers = load_sequence_outputs(tmp_path, n_layers=2)
+    assert len(layers) == 3 and layers[0].shape == (8, 5)
+    for layer in range(3):
+        want = np.concatenate(
+            [dumps[(layer, it)][:, -1, :] for it in range(2)]
+        )
+        np.testing.assert_array_equal(layers[layer], want)
+    svs = fig3_normalized_svdvals(layers[-1])
+    assert svs.shape == (5,) and abs(svs[0] - 1.0) < 1e-12
+    assert np.all(np.diff(svs) <= 1e-12)
