@@ -157,6 +157,7 @@ def main():
         for m in ("bsarec", "sasrec")
     ]))
 
+    ref_dump_fig2()
     ref_dump_fig3()
     _plot(curves, fig3)
     _readme()
@@ -164,6 +165,38 @@ def main():
 
 
 REF_DUMPS = "/root/reference/src/visualize/sequence_output"
+
+
+def ref_dump_fig2():
+    """Fig 2 FMLP panel from the REFERENCE's own shipped trained filter
+    (`LastFM_Spectral_Response/FMLPRec_complex_weight.npy`), notebook-
+    exact (`figure2.ipynb` §3: squared magnitude real²+imag², mean over
+    hidden). The notebook's SASRec attention dump is stripped from the
+    mount (`.MISSING_LARGE_BLOBS`), so only this panel is reproducible
+    from the authors' data."""
+    path = f"{REF_DUMPS}/LastFM_Spectral_Response/FMLPRec_complex_weight.npy"
+    if not os.path.isfile(path):
+        print("reference FMLP complex_weight dump not mounted; skipping")
+        return
+    from bsarec_tpu.utils.visualize import fig2_fftshift, fig2_filter_response
+
+    curve = fig2_filter_response(np.load(path))
+    np.save(f"{OUT}/fig2_refdata_fmlprec_response.npy", curve)
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    x, shifted = fig2_fftshift(curve)
+    fig, ax = plt.subplots(figsize=(5.5, 4))
+    ax.plot(x, shifted / shifted.max())
+    ax.set_title("Fig 2: FMLP-Rec filter response — reference's trained filter")
+    ax.set_xlabel("Frequency")
+    ax.set_ylabel("Normalized Magnitude")
+    ax.grid(True)
+    fig.tight_layout()
+    fig.savefig(f"{OUT}/fig2_refdata_fmlprec.png", dpi=150)
 
 
 def ref_dump_fig3():
@@ -282,6 +315,10 @@ checkpoints (`results/r2_runs/q2_Beauty_bsarec_rbg.ckpt`,
   cosine across sequences' last-position states (`figure3.ipynb`
   feeds `[:, -1, :]`).
 - `fig3_svd_*.npy` — normalized singular-value spectra per layer.
+- `fig2_refdata_fmlprec_response.npy` + `.png` — Fig 2's FMLP panel
+  recomputed by our analysis code from the REFERENCE'S OWN shipped
+  trained filter (`LastFM_Spectral_Response/FMLPRec_complex_weight.npy`),
+  notebook-exact (`figure2.ipynb` §3: real²+imag², mean over hidden).
 - `fig3_refdata_{cosine,svd}.npy` + `fig3_refdata.png` — Fig 3
   recomputed by our analysis code from the REFERENCE'S OWN shipped
   LastFM per-layer dumps (`src/visualize/sequence_output/LastFM_*`,

@@ -30,8 +30,19 @@ def attention_spectral_response(attn: np.ndarray) -> np.ndarray:
 
 
 def filter_spectral_response(w_real: np.ndarray, w_imag: np.ndarray) -> np.ndarray:
-    """FMLP complex filter [1, F, H] -> per-frequency mean magnitude [F]."""
+    """FMLP complex filter [1, F, H] -> per-frequency mean magnitude [F].
+
+    (|w| rather than |w|² — see `fig2_filter_response` for the
+    notebook-exact squared-magnitude curve.)"""
     return np.abs(w_real + 1j * w_imag).mean(axis=-1).reshape(-1)
+
+
+def fig2_filter_response(complex_weight: np.ndarray) -> np.ndarray:
+    """Notebook-exact Fig 2 FMLP curve (`figure2.ipynb` §1): layer-0
+    filter `complex_weight` [1, F, H, 2] -> mean over hidden of the
+    SQUARED magnitude real² + imag², per frequency [F]."""
+    w = np.asarray(complex_weight)[0]
+    return (w[:, :, 0] ** 2 + w[:, :, 1] ** 2).mean(axis=1)
 
 
 def layerwise_cosine_similarity(layer_outputs) -> list[float]:

@@ -212,3 +212,18 @@ def test_fig3_load_sequence_outputs_reference_layout(tmp_path):
     svs = fig3_normalized_svdvals(layers[-1])
     assert svs.shape == (5,) and abs(svs[0] - 1.0) < 1e-12
     assert np.all(np.diff(svs) <= 1e-12)
+
+
+def test_fig2_filter_response_notebook_squared_magnitude():
+    """fig2_filter_response = `figure2.ipynb` §3 exactly: layer-0
+    complex_weight [1, F, H, 2] -> (real² + imag²).mean(hidden), per
+    frequency — the SQUARED magnitude, unlike filter_spectral_response's
+    |w|."""
+    from bsarec_tpu.utils.visualize import fig2_filter_response
+
+    rng = np.random.default_rng(3)
+    w = rng.normal(size=(1, 26, 8, 2))
+    got = fig2_filter_response(w)
+    want = (w[0, :, :, 0] ** 2 + w[0, :, :, 1] ** 2).mean(axis=1)
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+    assert got.shape == (26,)
