@@ -110,10 +110,11 @@ def main():
         attn = maps[0][USER_INDEX, HEAD]  # first layer, notebook indices
         np.save(f"{OUT}/{name}_attention_weight.npy", np.stack(maps)[:, USER_INDEX])
         curves[name] = fig2_attention_response(attn)
+        host_outs = [np.asarray(o) for o in outs]
         fig3[name] = {
-            "cos": layerwise_cosine_similarity([np.asarray(o) for o in outs]),
-            "svd": [s[:64] for s in layerwise_singular_values([np.asarray(o) for o in outs])],
-            "outs": [np.asarray(o) for o in outs],
+            "cos": layerwise_cosine_similarity(host_outs),
+            "svd": [s[:64] for s in layerwise_singular_values(host_outs)],
+            "outs": host_outs,
         }
         if name == "bsarec":
             # A_IB: the frequency branch's exact linear map on the seq
@@ -205,8 +206,6 @@ def ref_dump_fig3():
     analysis code reproducing the paper's oversmoothing figure from the
     authors' data. Writes [4, 17] cosine curves + final-layer normalized
     singular values + a .png."""
-    import os
-
     from bsarec_tpu.utils.visualize import (
         fig3_normalized_svdvals,
         fig3_sequence_cosine,

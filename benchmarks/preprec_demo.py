@@ -105,6 +105,9 @@ def main():
     parser.add_argument("--workdir", default="/tmp/preprec_demo")
     parser.add_argument("--epochs", type=int, default=12)
     args = parser.parse_args()
+    # resolved before os.chdir below — a relative workdir would
+    # otherwise double-join when reused as --data_dir
+    args.workdir = os.path.abspath(args.workdir)
 
     os.makedirs(args.workdir, exist_ok=True)
     for name, seed in (("synthA", 11), ("synthB", 22)):

@@ -57,7 +57,7 @@ def _keep_mask_bits(rng, shape) -> jnp.ndarray:
     shifts = jnp.arange(32, dtype=jnp.uint32)
     bits = (words[..., None] >> shifts) & jnp.uint32(1)
     bits = bits.reshape(tuple(shape[:-1]) + (nwords * 32,))[..., :last]
-    return bits.astype(jnp.bool_)
+    return bits.astype(jnp.bool_).reshape(shape)  # () stays ()
 
 
 def _keep_mask_u8(rng, rate: float, shape) -> jnp.ndarray:
@@ -73,7 +73,7 @@ def _keep_mask_u8(rng, rate: float, shape) -> jnp.ndarray:
     words = jax.random.bits(rng, tuple(shape[:-1]) + (nwords,), jnp.uint32)
     lanes = jax.lax.bitcast_convert_type(words, jnp.uint8)  # [..., nwords, 4]
     lanes = lanes.reshape(tuple(shape[:-1]) + (nwords * 4,))[..., :last]
-    return lanes >= jnp.uint8(min(round(rate * 256), 255))
+    return (lanes >= jnp.uint8(min(round(rate * 256), 255))).reshape(shape)
 
 
 def fast_dropout(rng, rate: float, x: jnp.ndarray) -> jnp.ndarray:

@@ -15,6 +15,7 @@ Library functions instead of notebooks:
 
 from __future__ import annotations
 
+import re
 from pathlib import Path
 
 import numpy as np
@@ -97,9 +98,16 @@ def load_sequence_outputs(dump_dir: str | Path, n_layers: int = 16) -> list[np.n
     one [N, H] array per layer 0..n_layers."""
     root = Path(dump_dir)
     per_layer: dict[int, list[np.ndarray]] = {i: [] for i in range(n_layers + 1)}
+    pattern = re.compile(r"^(\d+)layer_.*\.npy$")
     for f in sorted(root.iterdir()):
-        layer = int(f.name.split("layer_")[0])
-        per_layer[layer].append(np.load(f)[:, -1, :])
+        m = pattern.match(f.name)
+        if m is None or int(m.group(1)) > n_layers:
+            continue  # stray files (README, markers) and extra layers
+        per_layer[int(m.group(1))].append(np.load(f)[:, -1, :])
+    missing = [i for i, v in per_layer.items() if not v]
+    if missing:
+        raise FileNotFoundError(
+            f"{root}: no '{{L}}layer_*iter.npy' dumps for layers {missing}")
     return [np.concatenate(per_layer[i]) for i in sorted(per_layer)]
 
 

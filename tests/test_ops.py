@@ -198,3 +198,17 @@ def test_fast_dropout_rbg_bitpath_on_rbg_keys():
     a, b = bits[:, :-1].ravel(), bits[:, 1:].ravel()
     corr = np.corrcoef(a, b)[0, 1]
     assert abs(corr) < 0.02, corr
+
+
+def test_fast_dropout_scalar_input_all_strategies(monkeypatch):
+    """0-d inputs work under every mask strategy (the lane-packed paths
+    pad to one word internally and must reshape back to ())."""
+    import jax
+
+    from bsarec_tpu.core.dropout import fast_dropout
+
+    for strategy in ("threshold", "bernoulli", "bits", "u8"):
+        monkeypatch.setenv("BSAREC_DROPOUT", strategy)
+        y = fast_dropout(jax.random.PRNGKey(0), 0.5, jnp.float32(3.0))
+        assert y.shape == ()
+        assert float(y) in (0.0, 6.0), (strategy, float(y))

@@ -227,3 +227,22 @@ def test_fig2_filter_response_notebook_squared_magnitude():
     want = (w[0, :, :, 0] ** 2 + w[0, :, :, 1] ** 2).mean(axis=1)
     np.testing.assert_allclose(got, want, rtol=1e-12)
     assert got.shape == (26,)
+
+
+def test_fig3_load_sequence_outputs_ignores_stray_files(tmp_path):
+    """Stray entries (README, markers) and extra-layer dumps are skipped;
+    an absent layer raises a clear FileNotFoundError, not KeyError."""
+    import pytest
+
+    from bsarec_tpu.utils.visualize import load_sequence_outputs
+
+    rng = np.random.default_rng(2)
+    for layer in range(2):
+        np.save(tmp_path / f"{layer}layer_0iter.npy", rng.normal(size=(3, 4, 5)))
+    (tmp_path / ".MISSING_LARGE_BLOBS").write_text("marker")
+    (tmp_path / "README.md").write_text("notes")
+    np.save(tmp_path / "9layer_0iter.npy", rng.normal(size=(3, 4, 5)))  # > n_layers
+    layers = load_sequence_outputs(tmp_path, n_layers=1)
+    assert len(layers) == 2 and layers[0].shape == (3, 5)
+    with pytest.raises(FileNotFoundError, match=r"layers \[2\]"):
+        load_sequence_outputs(tmp_path, n_layers=2)
