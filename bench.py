@@ -17,6 +17,27 @@ import time
 BASELINE_EXAMPLES_PER_SEC = 10_100.0
 
 
+def _backend_reachable(timeout_s: float = 240.0) -> bool:
+    """Probe jax backend init in a subprocess with a hard timeout.
+
+    When the axon TPU relay wedges, EVERY jax init in this process
+    would hang forever (CLAUDE.md environment rules) — including this
+    benchmark. Probing out-of-process keeps the failure bounded and
+    lets us emit an honest error line instead of hanging the driver.
+    """
+    import subprocess
+    import sys
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, check=True, capture_output=True,
+        )
+        return True
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+        return False
+
+
 def main():
     import argparse
 
@@ -39,6 +60,16 @@ def main():
         "results/quality_zoo_r2.md",
     )
     args = parser.parse_args()
+
+    if not _backend_reachable():
+        print(json.dumps({
+            "metric": "train_examples_per_sec", "value": 0.0,
+            "unit": "examples/s", "vs_baseline": 0.0,
+            "error": "TPU backend unreachable (jax init hung >240s; "
+                     "axon relay wedged) — no measurement taken",
+        }))
+        raise SystemExit(1)
+
     if args.prng == "rbg":
         import jax
 
