@@ -50,6 +50,12 @@ def parse_args(argv=None):
         help="serving export: write the [num_users, 20] seen-masked "
         "top-k item ids from the final/test model to this .npy path",
     )
+    parser.add_argument(
+        "--dump_seqout", default=None, type=str,
+        help="write reference-layout per-layer sequence-output dumps "
+        "(<dir>/<data>_<model>/{L}layer_{i}iter.npy — the figure3.ipynb "
+        "input format) from the final/test model to this directory",
+    )
     parser.add_argument("--train_name", default=get_local_time(), type=str)
     parser.add_argument(
         "--profile", default=None, type=str,
@@ -232,6 +238,12 @@ def main(argv=None):
         np.save(args.export_topk, topk)
         logger.info(f"exported top-{topk.shape[1]} item ids for "
                     f"{topk.shape[0]} users to {args.export_topk}")
+
+    if args.dump_seqout:
+        tag = f"{args.data_name}_{args.model_type}"
+        n = trainer.dump_sequence_outputs(args.dump_seqout, tag)
+        logger.info(f"dumped {n} per-layer sequence-output batches to "
+                    f"{os.path.join(args.dump_seqout, tag)}")
 
     logger.info(args.train_name)
     logger.info(result_info)

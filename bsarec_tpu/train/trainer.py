@@ -317,6 +317,32 @@ class Trainer:
         dev = self._eval_dev[split]
         return np.asarray(fn(self.params, dev["inputs"], dev["answers"], dev["seen"]))
 
+    def dump_sequence_outputs(self, out_dir: str, tag: str,
+                              split: str = "test",
+                              batch_size: int | None = None) -> int:
+        """Reference-layout per-layer sequence-output dumps
+        (`<out_dir>/<tag>/{L}layer_{i}iter.npy` — the input format of the
+        reference's `src/visualize/figure3.ipynb` / its shipped
+        `sequence_output/` dirs): eval-mode all-layers forwards over the
+        <split> inputs, one file set per eval batch (`--dump_seqout`).
+        Returns the number of batches written."""
+        from bsarec_tpu.utils.visualize import dump_sequence_outputs as _dump
+
+        b = batch_size or self.train_cfg.eval_batch_size
+        split_data = self.data.test if split == "test" else self.data.valid
+        inputs = np.asarray(split_data.input_ids)
+        fwd = jax.jit(lambda p, x: self.model.apply(
+            {"params": p}, x, train=False, all_layers=True))
+        n_batches = (len(inputs) + b - 1) // b
+        for i in range(n_batches):
+            batch = inputs[i * b:(i + 1) * b]
+            valid = len(batch)
+            if valid < b:  # pad to the compiled shape, slice after
+                batch = np.pad(batch, ((0, b - valid), (0, 0)))
+            outs = fwd(self.params, jnp.asarray(batch))
+            _dump([np.asarray(o)[:valid] for o in outs], out_dir, tag, i)
+        return n_batches
+
     def save(self, path: str | None = None):
         ckpt.save_params(self.params, path or self.checkpoint_path)
 

@@ -384,3 +384,33 @@ def test_trainer_load_restores_mesh_placement(tmp_path):
     assert "model" in str(table.sharding.spec), table.sharding
     again, _ = t.valid(0)
     np.testing.assert_allclose(np.asarray(again), np.asarray(before), atol=1e-6)
+
+
+def test_dump_sequence_outputs_reference_layout(tmp_path):
+    """dump_sequence_outputs (--dump_seqout): reference-layout per-layer
+    dumps that round-trip through load_sequence_outputs and equal a
+    direct all-layers forward (incl. the padded last partial batch)."""
+    from bsarec_tpu.utils.visualize import load_sequence_outputs
+
+    corpus = synthetic_corpus()
+    data = SeqRecData(corpus, max_len=10)
+    model_cfg = ModelConfig(
+        model_type="bsarec", item_size=corpus.item_size,
+        num_users=corpus.num_users + 1, max_seq_length=10, hidden_size=16,
+        num_hidden_layers=2, num_attention_heads=1, c=3, alpha=0.7,
+    )
+    cfg = TrainConfig(lr=0.01, batch_size=32, epochs=1, seed=3)
+    t = Trainer(model_cfg, cfg, data, _quiet_logger(), str(tmp_path / "d.ckpt"))
+    b = 16  # forces a partial last batch unless num_users % 16 == 0
+    n = t.dump_sequence_outputs(str(tmp_path), "Synth_BSARec", batch_size=b)
+    assert n == -(-data.test.num_users // b)
+    outs = t.model.apply(
+        {"params": t.params}, jnp.asarray(data.test.input_ids),
+        train=False, all_layers=True,
+    )
+    layers = load_sequence_outputs(
+        tmp_path / "Synth_BSARec", n_layers=len(outs) - 1)
+    assert len(layers) == len(outs)
+    for got, want in zip(layers, outs):
+        np.testing.assert_allclose(
+            got, np.asarray(want)[:, -1, :], rtol=2e-5, atol=1e-6)
