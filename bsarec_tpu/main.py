@@ -56,6 +56,13 @@ def parse_args(argv=None):
         "(<dir>/<data>_<model>/{L}layer_{i}iter.npy — the figure3.ipynb "
         "input format) from the final/test model to this directory",
     )
+    parser.add_argument(
+        "--export_serving", default=None, type=str,
+        help="AOT serving export: serialize the params-baked, "
+        "batch-polymorphic, CPU+TPU top-k scorer (jax.export StableHLO) "
+        "to this path; load with bsarec_tpu.serving.load_scorer — no "
+        "model code or checkpoint needed at serving time",
+    )
     parser.add_argument("--train_name", default=get_local_time(), type=str)
     parser.add_argument(
         "--profile", default=None, type=str,
@@ -244,6 +251,16 @@ def main(argv=None):
         n = trainer.dump_sequence_outputs(args.dump_seqout, tag)
         logger.info(f"dumped {n} per-layer sequence-output batches to "
                     f"{os.path.join(args.dump_seqout, tag)}")
+
+    if args.export_serving:
+        from bsarec_tpu.serving import export_scorer
+
+        meta = export_scorer(
+            trainer.model, trainer.params, model_cfg.item_size,
+            args.max_seq_length, data.test.seen_items.shape[1],
+            args.export_serving, dtype=model_cfg.compute_dtype,
+        )
+        logger.info(f"exported serving scorer: {meta}")
 
     logger.info(args.train_name)
     logger.info(result_info)

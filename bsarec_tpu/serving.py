@@ -1,0 +1,122 @@
+"""AOT serving export: a self-contained, params-baked top-k scorer.
+
+`export_scorer` serializes the exact eval-time ranking computation
+(`model.predict` last-position state x item table, seen-items zeroed
+like the reference's `rating_pred[seen] = 0` at `src/trainers.py:134`,
+`lax.top_k(20)`) into a `jax.export` StableHLO artifact:
+
+- **params are baked in as constants** — the artifact is one file that
+  needs no checkpoint, no model code, and no bsarec_tpu import to run;
+- **batch-polymorphic** — lowered once with a symbolic batch dimension,
+  so any batch size runs without retracing;
+- **multi-platform** — lowered for both CPU and TPU, so the same blob
+  serves from a CPU frontend or a TPU serving cell.
+
+`load_scorer` deserializes and jits the artifact; serving hosts need
+jax/jaxlib only. The reference has no serving path at all (its eval is
+a host-side numpy argpartition, `src/trainers.py:142-149`).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bsarec_tpu.ops.topk import masked_topk
+
+SERVING_CALL_DOC = "(input_ids [b, L] i32, user_ids [b] i32, seen_items [b, S] i32) -> [b, 20] i32"
+
+
+def build_scoring_fn(model, item_size: int, dtype: str = "float32", k: int = 20):
+    """The eval-exact ranking computation as a pure fn of params.
+
+    Mirrors `train/loop.py:build_eval_fn`'s dense branch (the tied-table
+    matmul of `src/trainers.py:62-68`, `table[:item_size]` trimming
+    BERT4Rec's [mask] column like `src/trainers.py:133-137`).
+    """
+
+    def predict_and_table(mdl, ids, uids):
+        return mdl.predict(ids, uids), mdl.item_table
+
+    def score_topk(params, input_ids, user_ids, seen_items):
+        out, table = model.apply(
+            {"params": params}, input_ids, user_ids, method=predict_and_table
+        )
+        dt = jnp.dtype(dtype)
+        logits = jnp.einsum(
+            "bh,vh->bv",
+            out[:, -1, :].astype(dt),
+            table[:item_size].astype(dt),
+            preferred_element_type=jnp.float32,
+        )
+        _, topk_idx = masked_topk(logits, seen_items, k=k)
+        return topk_idx
+
+    return score_topk
+
+
+def export_scorer(model, params, item_size: int, max_len: int,
+                  seen_width: int, path: str, dtype: str = "float32",
+                  platforms=("cpu", "tpu")) -> dict:
+    """Serialize the params-baked scorer to `path`; returns metadata."""
+    from jax import export as jexport
+
+    score_topk = build_scoring_fn(model, item_size, dtype=dtype)
+    frozen = jax.device_get(params)  # baked as artifact constants
+
+    def serve(input_ids, user_ids, seen_items):
+        return score_topk(frozen, input_ids, user_ids, seen_items)
+
+    (b,) = jexport.symbolic_shape("b")
+    exp = jexport.export(jax.jit(serve), platforms=tuple(platforms))(
+        jax.ShapeDtypeStruct((b, max_len), jnp.int32),
+        jax.ShapeDtypeStruct((b,), jnp.int32),
+        jax.ShapeDtypeStruct((b, seen_width), jnp.int32),
+    )
+    blob = exp.serialize()
+    with open(path, "wb") as fh:
+        fh.write(blob)
+    return {
+        "path": path, "bytes": len(blob), "call": SERVING_CALL_DOC,
+        "platforms": list(platforms), "max_len": max_len,
+        "seen_width": seen_width, "item_size": item_size,
+    }
+
+
+class Scorer:
+    """A deserialized serving artifact. `topk(input_ids, user_ids,
+    seen_items) -> [b, 20] ranked item ids` at any batch size."""
+
+    def __init__(self, exported):
+        self._exported = exported
+        self._call = jax.jit(exported.call)
+
+    def topk(self, input_ids, user_ids=None, seen_items=None) -> np.ndarray:
+        input_ids = jnp.asarray(input_ids, jnp.int32)
+        b = input_ids.shape[0]
+        if user_ids is None:
+            user_ids = jnp.zeros((b,), jnp.int32)
+        if seen_items is None:  # mask nothing beyond the padding column
+            seen_items = jnp.zeros((b, self.seen_width), jnp.int32)
+        return np.asarray(self._call(
+            input_ids, jnp.asarray(user_ids, jnp.int32),
+            jnp.asarray(seen_items, jnp.int32),
+        ))
+
+    @property
+    def max_len(self) -> int:
+        return self._exported.in_avals[0].shape[1]
+
+    @property
+    def seen_width(self) -> int:
+        return self._exported.in_avals[2].shape[1]
+
+
+def load_scorer(path: str) -> Scorer:
+    """Load a serving artifact written by `export_scorer`. Needs only
+    jax/jaxlib — no model code, no checkpoint."""
+    from jax import export as jexport
+
+    with open(path, "rb") as fh:
+        return Scorer(jexport.deserialize(bytearray(fh.read())))
