@@ -63,6 +63,11 @@ def parse_args(argv=None):
         "to this path; load with bsarec_tpu.serving.load_scorer — no "
         "model code or checkpoint needed at serving time",
     )
+    parser.add_argument(
+        "--serving_quant", default="none", choices=["none", "int8"],
+        help="with --export_serving: quantize the catalog matmul to "
+        "symmetric per-row int8 (int8 MXU path, 2x bf16 peak on v5e)",
+    )
     parser.add_argument("--train_name", default=get_local_time(), type=str)
     parser.add_argument(
         "--profile", default=None, type=str,
@@ -259,6 +264,7 @@ def main(argv=None):
             trainer.model, trainer.params, model_cfg.item_size,
             args.max_seq_length, data.test.seen_items.shape[1],
             args.export_serving, dtype=model_cfg.compute_dtype,
+            quant=None if args.serving_quant == "none" else args.serving_quant,
         )
         logger.info(f"exported serving scorer: {meta}")
 

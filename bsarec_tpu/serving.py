@@ -28,13 +28,43 @@ from bsarec_tpu.ops.topk import masked_topk
 SERVING_CALL_DOC = "(input_ids [b, L] i32, user_ids [b] i32, seen_items [b, S] i32) -> [b, 20] i32"
 
 
-def build_scoring_fn(model, item_size: int, dtype: str = "float32", k: int = 20):
+def int8_logits(state, table):
+    """Quantized catalog matmul: symmetric per-row int8 for both the
+    [b, h] user states (dynamic scales) and the [V, h] item table
+    (static scales, folded into the artifact's constants at export).
+
+    The V x h product — the dominant cost of serving at catalog scale —
+    runs on the int8 MXU path (2x the bf16 peak on v5e), accumulating in
+    int32; scales are reapplied outside the matmul. Per-row symmetric
+    int8 keeps the ranking's relative error ~O(1/127) per factor.
+    """
+    state = state.astype(jnp.float32)
+    table = table.astype(jnp.float32)
+    s_amax = jnp.max(jnp.abs(state), axis=1)
+    s_scale = jnp.where(s_amax > 0, s_amax / 127.0, 1.0)
+    q_state = jnp.round(state / s_scale[:, None]).astype(jnp.int8)
+    t_amax = jnp.max(jnp.abs(table), axis=1)
+    t_scale = jnp.where(t_amax > 0, t_amax / 127.0, 1.0)
+    q_table = jnp.round(table / t_scale[:, None]).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        q_state, q_table,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return acc.astype(jnp.float32) * s_scale[:, None] * t_scale[None, :]
+
+
+def build_scoring_fn(model, item_size: int, dtype: str = "float32", k: int = 20,
+                     quant: str | None = None):
     """The eval-exact ranking computation as a pure fn of params.
 
     Mirrors `train/loop.py:build_eval_fn`'s dense branch (the tied-table
     matmul of `src/trainers.py:62-68`, `table[:item_size]` trimming
     BERT4Rec's [mask] column like `src/trainers.py:133-137`).
+    `quant='int8'` swaps the catalog matmul for `int8_logits`.
     """
+    if quant not in (None, "int8"):
+        raise ValueError(f"unknown serving quantization {quant!r}")
 
     def predict_and_table(mdl, ids, uids):
         return mdl.predict(ids, uids), mdl.item_table
@@ -43,13 +73,16 @@ def build_scoring_fn(model, item_size: int, dtype: str = "float32", k: int = 20)
         out, table = model.apply(
             {"params": params}, input_ids, user_ids, method=predict_and_table
         )
-        dt = jnp.dtype(dtype)
-        logits = jnp.einsum(
-            "bh,vh->bv",
-            out[:, -1, :].astype(dt),
-            table[:item_size].astype(dt),
-            preferred_element_type=jnp.float32,
-        )
+        if quant == "int8":
+            logits = int8_logits(out[:, -1, :], table[:item_size])
+        else:
+            dt = jnp.dtype(dtype)
+            logits = jnp.einsum(
+                "bh,vh->bv",
+                out[:, -1, :].astype(dt),
+                table[:item_size].astype(dt),
+                preferred_element_type=jnp.float32,
+            )
         _, topk_idx = masked_topk(logits, seen_items, k=k)
         return topk_idx
 
@@ -58,11 +91,16 @@ def build_scoring_fn(model, item_size: int, dtype: str = "float32", k: int = 20)
 
 def export_scorer(model, params, item_size: int, max_len: int,
                   seen_width: int, path: str, dtype: str = "float32",
-                  platforms=("cpu", "tpu")) -> dict:
-    """Serialize the params-baked scorer to `path`; returns metadata."""
+                  platforms=("cpu", "tpu"), quant: str | None = None) -> dict:
+    """Serialize the params-baked scorer to `path`; returns metadata.
+
+    `quant='int8'`: the item table is quantized at export (the static
+    scales and int8 rows become the artifact's constants) and the
+    catalog matmul serves on the int8 MXU path — see `int8_logits`.
+    """
     from jax import export as jexport
 
-    score_topk = build_scoring_fn(model, item_size, dtype=dtype)
+    score_topk = build_scoring_fn(model, item_size, dtype=dtype, quant=quant)
     frozen = jax.device_get(params)  # baked as artifact constants
 
     def serve(input_ids, user_ids, seen_items):
@@ -81,6 +119,7 @@ def export_scorer(model, params, item_size: int, max_len: int,
         "path": path, "bytes": len(blob), "call": SERVING_CALL_DOC,
         "platforms": list(platforms), "max_len": max_len,
         "seen_width": seen_width, "item_size": item_size,
+        "quant": quant or "none",
     }
 
 

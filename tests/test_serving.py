@@ -4,6 +4,7 @@ The artifact is a params-baked, batch-polymorphic jax.export blob of the
 eval-exact ranking (predict -> tied-table matmul -> seen-zeroing ->
 top-20, `src/trainers.py:62-68,134,142-149` semantics)."""
 
+import json
 import logging
 
 import pytest
@@ -49,16 +50,25 @@ def _trained(tmp_path, model_type="bsarec", **kw):
     return t, data, model_cfg
 
 
-def test_serving_export_matches_export_topk(tmp_path):
-    """The deserialized artifact reproduces the --export_topk serving
-    ranking exactly on the real test split (any batch size — the blob
-    is batch-polymorphic, here the full user count at once)."""
-    t, data, model_cfg = _trained(tmp_path, c=3, alpha=0.7)
-    path = str(tmp_path / "scorer.jaxexp")
+@pytest.fixture(scope="module")
+def trained_bsarec(tmp_path_factory):
+    """One trained tiny BSARec + its exported artifact, shared by the
+    module's tests (training + export dominate the runtime here)."""
+    tmp = tmp_path_factory.mktemp("serving")
+    t, data, model_cfg = _trained(tmp, c=3, alpha=0.7)
+    path = str(tmp / "scorer.jaxexp")
     meta = export_scorer(
         t.model, t.params, model_cfg.item_size, 10,
         data.test.seen_items.shape[1], path,
     )
+    return t, data, model_cfg, path, meta
+
+
+def test_serving_export_matches_export_topk(trained_bsarec):
+    """The deserialized artifact reproduces the --export_topk serving
+    ranking exactly on the real test split (any batch size — the blob
+    is batch-polymorphic, here the full user count at once)."""
+    t, data, model_cfg, path, meta = trained_bsarec
     assert meta["bytes"] > 0 and meta["platforms"] == ["cpu", "tpu"]
 
     scorer = load_scorer(path)
@@ -72,13 +82,10 @@ def test_serving_export_matches_export_topk(tmp_path):
     np.testing.assert_array_equal(got, want)
 
 
-def test_serving_scorer_batch_polymorphic_and_defaults(tmp_path):
+def test_serving_scorer_batch_polymorphic_and_defaults(trained_bsarec):
     """One lowering serves every batch size; omitted user_ids/seen
     default to zeros (= mask only the padding column)."""
-    t, data, model_cfg = _trained(tmp_path, c=3, alpha=0.7)
-    path = str(tmp_path / "scorer.jaxexp")
-    export_scorer(t.model, t.params, model_cfg.item_size, 10,
-                  data.test.seen_items.shape[1], path)
+    t, data, model_cfg, path, _ = trained_bsarec
     scorer = load_scorer(path)
     fn = build_scoring_fn(t.model, model_cfg.item_size)
     for b in (1, 7, 32):
@@ -90,6 +97,126 @@ def test_serving_scorer_batch_polymorphic_and_defaults(tmp_path):
         )
         assert got.shape == (b, 20)
         np.testing.assert_array_equal(got, np.asarray(want))
+
+
+def test_serving_export_bert4rec_shift_and_mask_trim(tmp_path):
+    """BERT4Rec's eval-time sequence shift happens inside `predict` and
+    the [mask] vocab column is trimmed serving-side (`table[:item_size]`,
+    `src/trainers.py:133-137` semantics) — the artifact must match the
+    eval ranking exactly."""
+    t, data, model_cfg = _trained(tmp_path, model_type="bert4rec")
+    path = str(tmp_path / "b4r.jaxexp")
+    export_scorer(t.model, t.params, model_cfg.item_size, 10,
+                  data.test.seen_items.shape[1], path)
+    scorer = load_scorer(path)
+    got = scorer.topk(
+        data.test.input_ids,
+        np.arange(data.test.num_users, dtype=np.int32),
+        data.test.seen_items,
+    )
+    want = t.export_topk("test")
+    np.testing.assert_array_equal(got, want)
+    assert got.max() < model_cfg.item_size  # [mask] id never recommended
+
+
+def test_int8_logits_close_to_fp32():
+    """Symmetric per-row int8 keeps catalog logits within ~1% of fp32
+    (quantization error O(1/127) per factor)."""
+    from bsarec_tpu.serving import int8_logits
+
+    rng = np.random.default_rng(0)
+    state = jnp.asarray(rng.normal(size=(8, 64)), jnp.float32)
+    table = jnp.asarray(rng.normal(size=(512, 64)), jnp.float32)
+    got = np.asarray(int8_logits(state, table))
+    want = np.asarray(state) @ np.asarray(table).T
+    assert np.abs(got - want).max() < 0.02 * np.abs(want).max()
+
+
+def test_serving_export_int8_artifact(trained_bsarec, tmp_path):
+    """The int8-quantized artifact round-trips and its ranking tracks
+    the fp32 scorer (top-1 agreement on the real test split)."""
+    t, data, model_cfg, fp32_path, _ = trained_bsarec
+    path = str(tmp_path / "scorer_int8.jaxexp")
+    meta = export_scorer(
+        t.model, t.params, model_cfg.item_size, 10,
+        data.test.seen_items.shape[1], path, quant="int8",
+    )
+    assert meta["quant"] == "int8"
+    q = load_scorer(path).topk(data.test.input_ids, None, data.test.seen_items)
+    f = load_scorer(fp32_path).topk(data.test.input_ids, None, data.test.seen_items)
+    top1_agree = (q[:, 0] == f[:, 0]).mean()
+    assert top1_agree >= 0.9, top1_agree
+
+
+def test_pad_requests_layout():
+    """Ragged histories left-pad/left-truncate to max_len (most-recent
+    kept, the training pipeline's layout) and seen-masks build from the
+    FULL history, not just the context window."""
+    from bsarec_tpu.serve import pad_requests
+
+    hists = [[5, 6], [1, 2, 3, 4, 5, 6, 7], []]
+    ids, seen = pad_requests(hists, max_len=4, seen_width=6)
+    np.testing.assert_array_equal(ids[0], [0, 0, 5, 6])
+    np.testing.assert_array_equal(ids[1], [4, 5, 6, 7])  # truncates left
+    np.testing.assert_array_equal(ids[2], [0, 0, 0, 0])
+    np.testing.assert_array_equal(seen[0], [5, 6, 0, 0, 0, 0])
+    np.testing.assert_array_equal(seen[1], [2, 3, 4, 5, 6, 7])  # full history
+    ids2, seen2 = pad_requests(hists, 4, 6, mask_history=False)
+    assert seen2.sum() == 0 and np.array_equal(ids2, ids)
+
+
+def test_serve_http_host_end_to_end(trained_bsarec):
+    """The stdlib HTTP host serves /healthz and /rank; ranked ids equal
+    a direct scorer call on the same padded inputs, and by default a
+    user's own history never appears in their results."""
+    import http.client
+    import threading
+
+    from bsarec_tpu.serve import make_server, pad_requests, rank_request
+
+    _, data, _, path, _ = trained_bsarec
+    scorer = load_scorer(path)
+    server = make_server(scorer, port=0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        port = server.server_address[1]
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("GET", "/healthz")
+        health = json.loads(conn.getresponse().read())
+        assert health["ok"] and health["max_len"] == scorer.max_len
+
+        hists = [[3, 4, 5], list(range(1, 11)), [9]]
+        body = json.dumps({"input_ids": hists})
+        conn.request("POST", "/rank", body,
+                     {"Content-Type": "application/json"})
+        got = json.loads(conn.getresponse().read())["topk"]
+        ids, seen = pad_requests(hists, scorer.max_len, scorer.seen_width)
+        want = scorer.topk(ids, None, seen)
+        np.testing.assert_array_equal(np.asarray(got), want)
+        # seen masking is eval-exact (score := 0.0, `src/trainers.py:134`,
+        # not -inf): a history item outranks only negative-scored items.
+        # Pin that against a no-masking request instead of asserting
+        # absence, which the reference semantics don't guarantee.
+        conn.request("POST", "/rank",
+                     json.dumps({"input_ids": hists, "mask_history": False}),
+                     {"Content-Type": "application/json"})
+        unmasked = json.loads(conn.getresponse().read())["topk"]
+        assert unmasked != got  # masking does change the ranking
+
+        # a history longer than the artifact's seen capacity masks its
+        # most-recent seen_width items (the overflow drops the oldest)
+        long = list(range(1, 15))
+        _, seen_long = pad_requests([long], scorer.max_len, scorer.seen_width)
+        np.testing.assert_array_equal(seen_long[0], long[-scorer.seen_width:])
+
+        # malformed request -> 400, not a crash
+        conn.request("POST", "/rank", "{bad json",
+                     {"Content-Type": "application/json"})
+        assert conn.getresponse().status == 400
+        assert rank_request(scorer, {"input_ids": []}) == {"topk": []}
+    finally:
+        server.shutdown()
+        server.server_close()
 
 
 @pytest.mark.slow  # Caser compiles for minutes on the 1-core CPU host
