@@ -15,6 +15,13 @@ like the reference's `rating_pred[seen] = 0` at `src/trainers.py:134`,
 `load_scorer` deserializes and jits the artifact; serving hosts need
 jax/jaxlib only. The reference has no serving path at all (its eval is
 a host-side numpy argpartition, `src/trainers.py:142-149`).
+
+Scope: the artifact materializes [b, V] logits (dense ranking), sized
+for reference-scale catalogs (up to a few million items at serving
+batch sizes). Million-to-10M-item catalogs should serve in-process via
+the O(B)-memory streaming kernels (`ops/pallas_rank.py`), which are
+TPU-Mosaic custom calls and deliberately not part of the portable
+CPU+TPU artifact.
 """
 
 from __future__ import annotations
@@ -28,30 +35,36 @@ from bsarec_tpu.ops.topk import masked_topk
 SERVING_CALL_DOC = "(input_ids [b, L] i32, user_ids [b] i32, seen_items [b, S] i32) -> [b, 20] i32"
 
 
-def int8_logits(state, table):
-    """Quantized catalog matmul: symmetric per-row int8 for both the
-    [b, h] user states (dynamic scales) and the [V, h] item table
-    (static scales, folded into the artifact's constants at export).
+def quantize_rows(x):
+    """[N, h] f32 -> symmetric per-row int8 + f32 scales."""
+    x = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x), axis=1)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    return jnp.round(x / scale[:, None]).astype(jnp.int8), scale
 
-    The V x h product — the dominant cost of serving at catalog scale —
-    runs on the int8 MXU path (2x the bf16 peak on v5e), accumulating in
-    int32; scales are reapplied outside the matmul. Per-row symmetric
-    int8 keeps the ranking's relative error ~O(1/127) per factor.
-    """
-    state = state.astype(jnp.float32)
-    table = table.astype(jnp.float32)
-    s_amax = jnp.max(jnp.abs(state), axis=1)
-    s_scale = jnp.where(s_amax > 0, s_amax / 127.0, 1.0)
-    q_state = jnp.round(state / s_scale[:, None]).astype(jnp.int8)
-    t_amax = jnp.max(jnp.abs(table), axis=1)
-    t_scale = jnp.where(t_amax > 0, t_amax / 127.0, 1.0)
-    q_table = jnp.round(table / t_scale[:, None]).astype(jnp.int8)
+
+def int8_logits_prequant(state, q_table, t_scale):
+    """Catalog matmul against a pre-quantized table: the [b, h] user
+    states quantize dynamically per row; the int8 x int8 product runs
+    on the int8 MXU path (2x the bf16 peak on v5e), accumulating in
+    int32, with both scale vectors reapplied outside the matmul."""
+    q_state, s_scale = quantize_rows(state)
     acc = jax.lax.dot_general(
         q_state, q_table,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
     return acc.astype(jnp.float32) * s_scale[:, None] * t_scale[None, :]
+
+
+def int8_logits(state, table):
+    """Quantized catalog matmul: symmetric per-row int8 for both the
+    [b, h] user states (dynamic scales) and the [V, h] item table
+    (static scales, folded into the artifact's constants at export).
+    Per-row symmetric int8 keeps the ranking's relative error
+    ~O(1/127) per factor."""
+    q_table, t_scale = quantize_rows(table)
+    return int8_logits_prequant(state.astype(jnp.float32), q_table, t_scale)
 
 
 def build_scoring_fn(model, item_size: int, dtype: str = "float32", k: int = 20,
