@@ -51,12 +51,18 @@ def load_params(template_params, path: str | Path, filter_fn=None):
 
 def save_train_state(
     path: str | Path, params, opt_state, epoch: int, rng,
-    best_score=None, patience_counter: int = 0,
+    best_score=None, patience_counter: int = 0, config_fp: str = "",
 ) -> None:
     """Full resumable state: params, optimizer state, epoch, PRNG key,
     plus the early-stopping state (best validation score vector and
     patience counter) so a resumed run cannot overwrite a better
-    pre-crash checkpoint or restart the patience clock."""
+    pre-crash checkpoint or restart the patience clock.
+
+    `config_fp` is the run's model-config fingerprint (a JSON string):
+    resume compares it against the relaunch's config and fails loudly on
+    mismatch, because CLI flags omitted at relaunch fall back to their
+    DEFAULTS and can silently rebuild a different architecture whose
+    param shapes still match the snapshot (e.g. a head-count change)."""
     import numpy as np
 
     if best_score is None:
@@ -70,6 +76,7 @@ def save_train_state(
         "rng": jax.device_get(rng),
         "best_score": best,
         "patience_counter": int(patience_counter),
+        "config_fp": np.frombuffer(config_fp.encode(), np.uint8).copy(),
     }
     _atomic_write(path, flax.serialization.to_bytes(state))
 
@@ -77,8 +84,10 @@ def save_train_state(
 def load_train_state(path: str | Path, params, opt_state, rng):
     """Restore a `save_train_state` checkpoint against matching templates.
 
-    Returns (params, opt_state, epoch, rng, best_score, patience_counter)
-    where best_score is None when the snapshot predates any validation."""
+    Returns (params, opt_state, epoch, rng, best_score, patience_counter,
+    config_fp) where best_score is None when the snapshot predates any
+    validation and config_fp is None for snapshots from before the
+    fingerprint was recorded."""
     import numpy as np
 
     template = {
@@ -88,14 +97,22 @@ def load_train_state(path: str | Path, params, opt_state, rng):
         "rng": jax.device_get(rng),
         "best_score": np.zeros((1,), np.float32),
         "patience_counter": 0,
+        "config_fp": np.zeros((0,), np.uint8),
     }
     with open(path, "rb") as fh:
-        state = flax.serialization.from_bytes(template, fh.read())
+        blob = fh.read()
+    try:
+        state = flax.serialization.from_bytes(template, blob)
+        fp = bytes(np.asarray(state["config_fp"])).decode() or None
+    except (KeyError, ValueError):  # pre-fingerprint snapshot layout
+        del template["config_fp"]
+        state = flax.serialization.from_bytes(template, blob)
+        fp = None
     best = np.asarray(state["best_score"])
     best_score = None if np.all(np.isneginf(best)) else best
     return (
         state["params"], state["opt_state"], int(state["epoch"]),
-        state["rng"], best_score, int(state["patience_counter"]),
+        state["rng"], best_score, int(state["patience_counter"]), fp,
     )
 
 

@@ -365,20 +365,49 @@ class Trainer:
     def state_path(self) -> str:
         return self.checkpoint_path + ".state"
 
+    def _config_fingerprint(self) -> str:
+        """The model architecture as canonical JSON. `loss_impl` is
+        excluded: its choices are numerically equivalent implementations
+        and the trainer legitimately rewrites it per mesh context."""
+        import dataclasses
+        import json
+
+        fields = dataclasses.asdict(self.model_cfg)
+        fields.pop("loss_impl", None)
+        return json.dumps(fields, sort_keys=True)
+
     def save_state(self, epoch: int, stopper: EarlyStopping | None = None):
         ckpt.save_train_state(
             self.state_path, self.params, self.opt_state, epoch, self.rng,
             best_score=None if stopper is None else stopper.best_score,
             patience_counter=0 if stopper is None else stopper.counter,
+            config_fp=self._config_fingerprint(),
         )
 
     def resume(self) -> int:
         """Restore params/optimizer/PRNG/early-stop state from the latest
         state snapshot; returns the next epoch to run."""
         (self.params, self.opt_state, epoch, self.rng,
-         best_score, counter) = ckpt.load_train_state(
+         best_score, counter, saved_fp) = ckpt.load_train_state(
             self.state_path, self.params, self.opt_state, self.rng
         )
+        if saved_fp is not None and saved_fp != self._config_fingerprint():
+            import json
+
+            saved = json.loads(saved_fp)
+            here = json.loads(self._config_fingerprint())
+            diff = {
+                k: (saved.get(k), here.get(k))
+                for k in sorted(set(saved) | set(here))
+                if saved.get(k) != here.get(k)
+            }
+            raise ValueError(
+                f"--resume model config does not match the snapshot at "
+                f"{self.state_path} (snapshot vs now): {diff}. Omitted CLI "
+                f"flags fall back to defaults — re-pass the original run's "
+                f"flags (param shapes matching is NOT enough: e.g. a "
+                f"num_attention_heads change keeps every shape identical)."
+            )
         if self.mesh is not None:
             # restored host arrays must get their mesh placement back, or
             # the vocab-sharded table silently replicates post-resume.

@@ -5,6 +5,7 @@ import logging
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from bsarec_tpu.config import ModelConfig, TrainConfig
 from bsarec_tpu.data.corpus import Corpus
@@ -147,6 +148,48 @@ def test_resume_from_state_snapshot(tmp_path):
     la = a.train(1)
     lb = b.train(1)
     assert abs(la - lb) < 1e-6
+
+
+def test_resume_rejects_mismatched_model_config(tmp_path):
+    """A relaunch that omits CLI flags rebuilds the model from DEFAULTS;
+    if the architecture differs from the snapshot's, resume must fail
+    loudly even when every param shape still matches (a head-count
+    change keeps all shapes identical — caught live when a resumed
+    LastFM run silently went 1 head -> 2)."""
+    corpus = synthetic_corpus()
+    data = SeqRecData(corpus, max_len=10)
+    model_cfg = ModelConfig(
+        model_type="sasrec", item_size=corpus.item_size, num_users=corpus.num_users + 1,
+        max_seq_length=10, hidden_size=16, num_hidden_layers=1, num_attention_heads=1,
+        hidden_dropout_prob=0.1, attention_probs_dropout_prob=0.1,
+    )
+    cfg = TrainConfig(lr=0.01, batch_size=32, epochs=2, seed=3, log_freq=100)
+    a = Trainer(model_cfg, cfg, data, _quiet_logger(), str(tmp_path / "a.ckpt"))
+    a.train(0)
+    a.save_state(0)
+
+    two_heads = model_cfg.replace(num_attention_heads=2)  # same param shapes
+    b = Trainer(two_heads, cfg, data, _quiet_logger(), str(tmp_path / "a.ckpt"))
+    with pytest.raises(ValueError, match="num_attention_heads.*(1, 2)"):
+        b.resume()
+
+    # the matching config still resumes; loss_impl differences are
+    # allowed (numerically equivalent implementations)
+    c = Trainer(model_cfg.replace(loss_impl="dense"), cfg, data,
+                _quiet_logger(), str(tmp_path / "a.ckpt"))
+    assert c.resume() == 1
+
+    # pre-fingerprint snapshots (no config_fp key) still load
+    from bsarec_tpu.train import checkpoint as ckpt_mod
+    legacy = dict(
+        params=jax.device_get(a.params), opt_state=jax.device_get(a.opt_state),
+        epoch=0, rng=jax.device_get(a.rng),
+        best_score=np.full((1,), -np.inf, np.float32), patience_counter=0,
+    )
+    import flax.serialization
+    ckpt_mod._atomic_write(a.state_path, flax.serialization.to_bytes(legacy))
+    d = Trainer(two_heads, cfg, data, _quiet_logger(), str(tmp_path / "a.ckpt"))
+    assert d.resume() == 1  # no fingerprint recorded -> cannot check
 
 
 def test_resume_restores_early_stopping_state(tmp_path):
