@@ -150,6 +150,35 @@ def test_resume_from_state_snapshot(tmp_path):
     assert abs(la - lb) < 1e-6
 
 
+def test_same_seed_runs_are_identical(tmp_path):
+    """SURVEY §4: the reference relies on deterministic seeding to make
+    runs comparable (`src/utils.py:31-38`); here two same-seed Trainers
+    must match exactly (pure-functional PRNG threading), and a different
+    seed must actually change the run."""
+    corpus = synthetic_corpus()
+    data = SeqRecData(corpus, max_len=10)
+    model_cfg = ModelConfig(
+        model_type="bsarec", item_size=corpus.item_size, num_users=corpus.num_users + 1,
+        max_seq_length=10, hidden_size=16, num_hidden_layers=1, num_attention_heads=1,
+        c=3, alpha=0.7,
+    )
+    cfg = TrainConfig(lr=0.01, batch_size=32, epochs=1, seed=7, log_freq=100)
+    runs = []
+    for name in ("a", "b"):
+        t = Trainer(model_cfg, cfg, data, _quiet_logger(), str(tmp_path / f"{name}.ckpt"))
+        loss = t.train(0)
+        scores, _ = t.valid(0)
+        runs.append((loss, np.asarray(scores)))
+    assert runs[0][0] == runs[1][0]
+    np.testing.assert_array_equal(runs[0][1], runs[1][1])
+
+    import dataclasses
+
+    other = Trainer(model_cfg, dataclasses.replace(cfg, seed=8), data,
+                    _quiet_logger(), str(tmp_path / "c.ckpt"))
+    assert other.train(0) != runs[0][0]
+
+
 def test_resume_rejects_mismatched_model_config(tmp_path):
     """A relaunch that omits CLI flags rebuilds the model from DEFAULTS;
     if the architecture differs from the snapshot's, resume must fail
