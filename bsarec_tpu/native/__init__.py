@@ -53,6 +53,10 @@ def _configure(lib: ctypes.CDLL) -> ctypes.CDLL:
         i32p, i32p, i32p, u8p, i64p, ctypes.c_int64, ctypes.c_uint64, i32p,
     ]
     lib.same_target_pick.restype = None
+    lib.intwtime_count.argtypes = [ctypes.c_char_p, i64p, i64p, i64p]
+    lib.intwtime_count.restype = ctypes.c_int
+    lib.intwtime_fill.argtypes = [ctypes.c_char_p, i32p, i32p, i32p, i32p, i32p]
+    lib.intwtime_fill.restype = ctypes.c_int
     return lib
 
 
@@ -101,6 +105,29 @@ def parse_corpus(path: str):
     ):
         return None
     return offsets, items[: n_items.value], int(max_item.value)
+
+
+def parse_intwtime(path: str):
+    """PREPRec `<ds>_intwtime.csv` -> five [n_rows] i32 columns in file
+    order ((users1, items1, t1, t2, te), usernum, itemnum) or None.
+    Semantics identical to the Python loader (`preprec/data.py`): ids
+    shifted to 1-based, 5th field truncated toward zero."""
+    L = lib()
+    if L is None:
+        return None
+    n_rows = ctypes.c_int64()
+    max_u = ctypes.c_int64()
+    max_i = ctypes.c_int64()
+    if L.intwtime_count(str(path).encode(), ctypes.byref(n_rows),
+                        ctypes.byref(max_u), ctypes.byref(max_i)):
+        return None
+    if n_rows.value == 0:
+        return None  # Python loader raises its usual error on empty files
+    cols = [np.zeros(n_rows.value, np.int32) for _ in range(5)]
+    if L.intwtime_fill(str(path).encode(),
+                       *(_ptr(c, ctypes.c_int32) for c in cols)):
+        return None
+    return tuple(cols), int(max_u.value), int(max_i.value)
 
 
 def prefix_expand(offsets: np.ndarray, items: np.ndarray, max_len: int):

@@ -46,17 +46,48 @@ class PrepRecDataset:
         return (np.nonzero(counts > 1)[0] + 1).astype(np.int32)
 
 
+def _group_rows(path: str):
+    """-> ({user1: (items, t1s, t2s, tes) numpy slices in file order},
+    usernum, itemnum). Native fast path (`native/seqrec.cpp:intwtime_*`,
+    per-row Python parsing is the startup cost at production row counts)
+    with an identical-semantics Python fallback."""
+    from bsarec_tpu import native
+
+    parsed = native.parse_intwtime(path)
+    if parsed is not None:
+        (u_col, i_col, t1_col, t2_col, te_col), usernum, itemnum = parsed
+    else:
+        rows: list[tuple] = []
+        itemnum = 0
+        with open(path) as fh:
+            for line in fh:
+                parts = line.rstrip().split(",")
+                u, i, t1, t2 = (int(parts[0]) + 1, int(parts[1]) + 1,
+                                int(parts[2]), int(parts[3]))
+                te = int(float(parts[4])) if len(parts) > 4 else 0
+                itemnum = max(itemnum, i)
+                rows.append((u, i, t1, t2, te))
+        cols = np.asarray(rows, np.int32).reshape(-1, 5).T
+        u_col, i_col, t1_col, t2_col, te_col = cols
+        if not rows:
+            raise ValueError(f"empty intwtime file: {path}")
+        usernum = int(u_col.max())
+
+    # group by user, keeping file order within each user (the dict loop
+    # this replaces appended rows in file order)
+    order = np.argsort(u_col, kind="stable")
+    sorted_u = u_col[order]
+    uniq, starts = np.unique(sorted_u, return_index=True)
+    bounds = np.append(starts, len(sorted_u))
+    users = {}
+    for k, u in enumerate(uniq):
+        idx = order[bounds[k]:bounds[k + 1]]
+        users[int(u)] = (i_col[idx], t1_col[idx], t2_col[idx], te_col[idx])
+    return users, usernum, int(itemnum)
+
+
 def load_intwtime(path: str, maxlen: int, sparse: bool = False) -> PrepRecDataset:
-    users: dict[int, list] = {}
-    itemnum = 0
-    with open(path) as fh:
-        for line in fh:
-            parts = line.rstrip().split(",")
-            u, i, t1, t2 = int(parts[0]) + 1, int(parts[1]) + 1, int(parts[2]), int(parts[3])
-            te = int(float(parts[4])) if len(parts) > 4 else 0
-            itemnum = max(itemnum, i)
-            users.setdefault(u, []).append((i, t1, t2, te))
-    usernum = max(users)
+    users, usernum, itemnum = _group_rows(path)
 
     def zeros(shape, dtype=np.int32):
         return np.zeros(shape, dtype)
@@ -69,11 +100,7 @@ def load_intwtime(path: str, maxlen: int, sparse: bool = False) -> PrepRecDatase
     te_e = zeros((usernum, maxlen))
     lens = zeros(usernum)
 
-    for u, rows in users.items():
-        items = [r[0] for r in rows]
-        t1s = [r[1] for r in rows]
-        t2s = [r[2] for r in rows]
-        tes = [r[3] for r in rows]
+    for u, (items, t1s, t2s, tes) in users.items():
         r = u - 1
 
         uselen = min(maxlen + 2, len(tes))

@@ -236,3 +236,111 @@ void same_target_pick(const int32_t* order, const int32_t* group_start,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// PREPRec `<ds>_intwtime.csv` parsing: "user,item,t1,t2[,timestamp]" rows.
+// Reference loader semantics (`repo-b/data.py:14-43`, reproduced in
+// bsarec_tpu/preprec/data.py:load_intwtime): user/item shift to 1-based,
+// t1/t2 are ints, the optional 5th field is `int(float(x))` — i.e. the
+// integer part, truncated toward zero — and rows keep file order per user.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// Parses one signed integer field, optionally skipping a ".fraction" tail
+// (allow_frac mirrors Python's int(float(x)) truncation toward zero).
+// Returns 0 ok / 2 malformed; advances *pp past the field (not the sep).
+inline int parse_field(const char** pp, const char* end, bool allow_frac,
+                       int64_t* out) {
+  const char* p = *pp;
+  bool neg = false;
+  if (p < end && (*p == '-' || *p == '+')) neg = (*p++ == '-');
+  if (p >= end || *p < '0' || *p > '9') return 2;
+  int64_t v = 0;
+  while (p < end && *p >= '0' && *p <= '9') v = v * 10 + (*p++ - '0');
+  if (allow_frac && p < end && *p == '.') {
+    ++p;
+    while (p < end && *p >= '0' && *p <= '9') ++p;
+  }
+  *out = neg ? -v : v;
+  *pp = p;
+  return 0;
+}
+
+// Shared line-walker: calls emit(row_index, u1, i1, t1, t2, te) per row.
+template <typename Emit>
+int intwtime_walk(const char* path, int64_t* n_rows, int64_t* max_user1,
+                  int64_t* max_item1, Emit emit) {
+  FILE* fh = fopen(path, "rb");
+  if (!fh) return 1;
+  fseek(fh, 0, SEEK_END);
+  long size = ftell(fh);
+  fseek(fh, 0, SEEK_SET);
+  char* buf = (char*)malloc(size + 1);
+  if (!buf) { fclose(fh); return 1; }
+  if ((long)fread(buf, 1, size, fh) != size) { free(buf); fclose(fh); return 1; }
+  fclose(fh);
+  const char* p = buf;
+  const char* end = buf + size;
+  int64_t rows = 0, mu = 0, mi = 0;
+  while (p < end) {
+    const char* eol = (const char*)memchr(p, '\n', end - p);
+    const char* le = eol ? eol : end;
+    while (le > p && (le[-1] == '\r' || le[-1] == ' ')) --le;  // rstrip
+    if (le > p) {  // non-empty line
+      int64_t f[5] = {0, 0, 0, 0, 0};
+      int nf = 0;
+      bool bad = false;
+      const char* q = p;
+      while (nf < 5) {
+        if (parse_field(&q, le, nf == 4, &f[nf])) { bad = true; break; }
+        ++nf;
+        if (q >= le) break;        // line fully consumed
+        if (*q != ',') { bad = true; break; }  // junk this parser can't
+        ++q;                       // mirror (e.g. 1e3): Python fallback
+        if (nf == 5) break;        // extra fields ignored (parts[5:])
+      }
+      if (bad || nf < 4) { free(buf); return 2; }
+      int64_t u1 = f[0] + 1, i1 = f[1] + 1;
+      if (u1 > mu) mu = u1;
+      if (i1 > mi) mi = i1;
+      emit(rows, u1, i1, f[2], f[3], nf > 4 ? f[4] : 0);
+      ++rows;
+    }
+    p = eol ? eol + 1 : end;
+  }
+  free(buf);
+  *n_rows = rows;
+  *max_user1 = mu;
+  *max_item1 = mi;
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Pass 1: row count and 1-based max user/item ids. 0 ok / 1 io / 2 malformed
+// (callers fall back to the Python loader for a proper exception).
+int intwtime_count(const char* path, int64_t* n_rows, int64_t* max_user1,
+                   int64_t* max_item1) {
+  return intwtime_walk(path, n_rows, max_user1, max_item1,
+                       [](int64_t, int64_t, int64_t, int64_t, int64_t, int64_t) {});
+}
+
+// Pass 2: fill the five [n_rows] int32 columns (file order preserved).
+int intwtime_fill(const char* path, int32_t* users, int32_t* items,
+                  int32_t* t1, int32_t* t2, int32_t* te) {
+  int64_t r, mu, mi;
+  return intwtime_walk(
+      path, &r, &mu, &mi,
+      [&](int64_t row, int64_t u1, int64_t i1, int64_t a, int64_t b, int64_t t) {
+        users[row] = (int32_t)u1;
+        items[row] = (int32_t)i1;
+        t1[row] = (int32_t)a;
+        t2[row] = (int32_t)b;
+        te[row] = (int32_t)t;
+      });
+}
+
+}  // extern "C"

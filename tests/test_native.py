@@ -122,3 +122,50 @@ def test_same_target_contract(corpus_file):
     div = diversity[answers]
     same_seq = hashed[pick] == hashed[np.arange(len(pick))]
     assert (same_seq & div).mean() < 0.05
+
+
+def test_intwtime_parse_matches_python(tmp_path, monkeypatch):
+    """PREPRec CSV fast path: native columns and the loaded
+    PrepRecDataset are bit-identical to the pure-Python loader, with
+    interleaved users, float-formatted timestamps (int(float(x))
+    truncation), 4-field rows, and a trailing newline."""
+    from bsarec_tpu.preprec.data import load_intwtime
+
+    path = tmp_path / "toy_intwtime.csv"
+    rng = np.random.default_rng(5)
+    lines = []
+    for u in range(12):
+        for k in range(int(rng.integers(4, 15))):
+            t = int(rng.integers(0, 500))
+            ts = f"{t}.0" if k % 3 == 0 else str(t)  # float-formatted rows
+            row = f"{u},{int(rng.integers(0, 60))},{k},{k % 7},{ts}"
+            if k % 5 == 4:
+                row = ",".join(row.split(",")[:4])  # 4-field rows (te=0)
+            lines.append(row)
+    rng.shuffle(lines)  # users interleaved in file order
+    path.write_text("\n".join(lines) + "\n")
+
+    parsed = native.parse_intwtime(str(path))
+    assert parsed is not None
+    (u1, i1, t1, t2, te), usernum, itemnum = parsed
+    # python reference for the flat columns
+    exp = []
+    for line in path.read_text().splitlines():
+        parts = line.split(",")
+        exp.append((int(parts[0]) + 1, int(parts[1]) + 1, int(parts[2]),
+                    int(parts[3]), int(float(parts[4])) if len(parts) > 4 else 0))
+    exp = np.asarray(exp, np.int32)
+    np.testing.assert_array_equal(np.stack([u1, i1, t1, t2, te], 1), exp)
+    assert usernum == exp[:, 0].max() and itemnum == exp[:, 1].max()
+
+    fast = load_intwtime(str(path), maxlen=8)
+    monkeypatch.setattr(native, "parse_intwtime", lambda _: None)
+    slow = load_intwtime(str(path), maxlen=8)
+    for field in fast.__dataclass_fields__:
+        np.testing.assert_array_equal(
+            getattr(fast, field), getattr(slow, field), err_msg=field)
+
+    # malformed content (scientific notation the native parser refuses)
+    # falls back to Python rather than silently diverging
+    path.write_text("0,1,2,3,1e3\n")
+    assert native.parse_intwtime(str(path)) is None
