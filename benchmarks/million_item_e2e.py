@@ -31,11 +31,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # --smoke runs must survive a wedged TPU relay (CLAUDE.md)
-if os.environ.get("JAX_PLATFORM_NAME", "").lower() == "cpu":
-    import jax
-
-    jax.config.update("jax_platforms", "cpu")
-
+import bsarec_tpu.cpu_guard  # noqa: F401  (must precede any backend use)
 import numpy as np
 
 

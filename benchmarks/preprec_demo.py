@@ -32,11 +32,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-if os.environ.get("JAX_PLATFORM_NAME", "").lower() == "cpu":
-    import jax
-
-    jax.config.update("jax_platforms", "cpu")
-
+import bsarec_tpu.cpu_guard  # noqa: F401  (must precede any backend use)
 import numpy as np
 
 YEAR = 3600 * 24 * 365

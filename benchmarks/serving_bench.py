@@ -31,13 +31,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import bsarec_tpu.cpu_guard  # noqa: F401  (must precede any backend use)
 import jax
-
-# Honor JAX_PLATFORM_NAME=cpu before first backend use (CPU smoke runs;
-# skips the axon TPU plugin — same preamble as the CLIs).
-if os.environ.get("JAX_PLATFORM_NAME", "").lower() == "cpu":
-    jax.config.update("jax_platforms", "cpu")
-
 import jax.numpy as jnp
 
 from bsarec_tpu.ops.topk import masked_topk

@@ -81,6 +81,8 @@ def fast_dropout(rng, rate: float, x: jnp.ndarray) -> jnp.ndarray:
     module docstring). Semantics: iid Bernoulli(1-rate) keep mask,
     kept values scaled by 1/(1-rate) — the same distribution as
     `flax.linen.Dropout`, on a different random stream."""
+    if rate >= 1.0:  # nn.Dropout's special case: everything drops
+        return jnp.zeros_like(x)
     keep_prob = 1.0 - rate
     strategy = _strategy()
     if strategy == "bernoulli":

@@ -16,14 +16,7 @@ from __future__ import annotations
 import argparse
 import os
 
-# Honor JAX_PLATFORM_NAME=cpu before any backend init: selecting cpu via
-# jax_platforms skips the axon TPU plugin entirely, so CPU CLI runs keep
-# working even when the TPU relay is unreachable (CLAUDE.md wedge rule).
-if os.environ.get("JAX_PLATFORM_NAME", "").lower() == "cpu":
-    import jax
-
-    jax.config.update("jax_platforms", "cpu")
-
+import bsarec_tpu.cpu_guard  # noqa: F401  (must precede any backend use)
 import numpy as np
 
 from bsarec_tpu.config import ModelConfig, TrainConfig
@@ -230,7 +223,8 @@ def main(argv=None):
             # install_params applies the run's mesh placement — a raw
             # `trainer.params = ...` would leave the item table unsharded
             trainer.install_params(import_torch_checkpoint(
-                args.model_type, args.load_torch_model, args.num_hidden_layers
+                args.model_type, args.load_torch_model, args.num_hidden_layers,
+                max_seq_length=args.max_seq_length,
             ))
             logger.info(f"Imported torch checkpoint {args.load_torch_model} for test!")
         elif args.load_model is None:

@@ -55,7 +55,8 @@ def _configure(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.same_target_pick.restype = None
     lib.intwtime_count.argtypes = [ctypes.c_char_p, i64p, i64p, i64p]
     lib.intwtime_count.restype = ctypes.c_int
-    lib.intwtime_fill.argtypes = [ctypes.c_char_p, i32p, i32p, i32p, i32p, i32p]
+    lib.intwtime_fill.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                  i32p, i32p, i32p, i32p, i32p]
     lib.intwtime_fill.restype = ctypes.c_int
     return lib
 
@@ -124,9 +125,9 @@ def parse_intwtime(path: str):
     if n_rows.value == 0:
         return None  # Python loader raises its usual error on empty files
     cols = [np.zeros(n_rows.value, np.int32) for _ in range(5)]
-    if L.intwtime_fill(str(path).encode(),
+    if L.intwtime_fill(str(path).encode(), n_rows.value,
                        *(_ptr(c, ctypes.c_int32) for c in cols)):
-        return None
+        return None  # includes rc=3: file changed between the two passes
     return tuple(cols), int(max_u.value), int(max_i.value)
 
 

@@ -14,13 +14,7 @@ import dataclasses
 import logging
 import os
 
-# Honor JAX_PLATFORM_NAME=cpu before any backend init (skips the axon
-# TPU plugin, so CPU runs survive a wedged relay — CLAUDE.md).
-if os.environ.get("JAX_PLATFORM_NAME", "").lower() == "cpu":
-    import jax
-
-    jax.config.update("jax_platforms", "cpu")
-
+import bsarec_tpu.cpu_guard  # noqa: F401  (must precede any backend use)
 import numpy as np
 
 from bsarec_tpu.preprec.config import PrepRecConfig, PrepRecTrainConfig

@@ -31,15 +31,7 @@ import json
 import os
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-# Honor JAX_PLATFORM_NAME=cpu before any backend init: selecting cpu via
-# jax_platforms skips the axon TPU plugin entirely, so CPU serving hosts
-# stay up even when the TPU relay is unreachable (same preamble as the
-# CLIs, `bsarec_tpu/main.py:19-25`).
-if os.environ.get("JAX_PLATFORM_NAME", "").lower() == "cpu":
-    import jax
-
-    jax.config.update("jax_platforms", "cpu")
-
+import bsarec_tpu.cpu_guard  # noqa: F401  (must precede any backend use)
 import numpy as np
 
 from bsarec_tpu.serving import Scorer, load_scorer
@@ -116,7 +108,10 @@ def make_server(scorer: Scorer, host: str = "127.0.0.1", port: int = 0):
                 n = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(n) or b"{}")
                 self._reply(200, rank_request(scorer, payload))
-            except (KeyError, ValueError, TypeError) as e:
+            except Exception as e:  # noqa: BLE001 — any malformed body
+                # (ragged seen_items -> IndexError, mismatched user_ids
+                # -> XLA shape error, ...) must produce a 400 JSON, not
+                # a dropped connection
                 self._reply(400, {"error": f"{type(e).__name__}: {e}"})
 
         def log_message(self, fmt, *args):  # quiet; the CLI logs startup

@@ -202,5 +202,12 @@ TORCH_IMPORTERS = {
 }
 
 
-def import_torch_checkpoint(model_type: str, path: str, num_layers: int = 2) -> dict:
-    return TORCH_IMPORTERS[model_type.lower()](path, num_layers)
+def import_torch_checkpoint(model_type: str, path: str, num_layers: int = 2,
+                            max_seq_length: int = 50) -> dict:
+    # Caser's second parameter is the conv-bank count (max_seq_length),
+    # not the layer count — dispatching num_layers there built a tree
+    # missing most conv_h banks.
+    mt = model_type.lower()
+    if mt == "caser":
+        return import_caser(path, max_seq_length)
+    return TORCH_IMPORTERS[mt](path, num_layers)

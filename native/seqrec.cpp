@@ -287,12 +287,14 @@ int intwtime_walk(const char* path, int64_t* n_rows, int64_t* max_user1,
     const char* eol = (const char*)memchr(p, '\n', end - p);
     const char* le = eol ? eol : end;
     while (le > p && (le[-1] == '\r' || le[-1] == ' ')) --le;  // rstrip
-    if (le > p) {  // non-empty line
+    // blank lines are malformed: the Python loader raises int('') on
+    // them, so accepting here would diverge from the fallback.
+    {
       int64_t f[5] = {0, 0, 0, 0, 0};
       int nf = 0;
-      bool bad = false;
+      bool bad = (le <= p);
       const char* q = p;
-      while (nf < 5) {
+      while (!bad && nf < 5) {
         if (parse_field(&q, le, nf == 4, &f[nf])) { bad = true; break; }
         ++nf;
         if (q >= le) break;        // line fully consumed
@@ -302,9 +304,16 @@ int intwtime_walk(const char* path, int64_t* n_rows, int64_t* max_user1,
       }
       if (bad || nf < 4) { free(buf); return 2; }
       int64_t u1 = f[0] + 1, i1 = f[1] + 1;
+      // columns are materialized as int32 (matching the np.int32 arrays
+      // the Python loader fills, which raise OverflowError rather than
+      // wrap) — out-of-range values defer to the fallback's loud error
+      for (int k = 0; k < 5; ++k)
+        if (f[k] > INT32_MAX - 1 || f[k] < INT32_MIN) { free(buf); return 2; }
       if (u1 > mu) mu = u1;
       if (i1 > mi) mi = i1;
-      emit(rows, u1, i1, f[2], f[3], nf > 4 ? f[4] : 0);
+      if (!emit(rows, u1, i1, f[2], f[3], nf > 4 ? f[4] : 0)) {
+        free(buf); return 3;       // caller's capacity exceeded
+      }
       ++rows;
     }
     p = eol ? eol + 1 : end;
@@ -324,23 +333,30 @@ extern "C" {
 // (callers fall back to the Python loader for a proper exception).
 int intwtime_count(const char* path, int64_t* n_rows, int64_t* max_user1,
                    int64_t* max_item1) {
-  return intwtime_walk(path, n_rows, max_user1, max_item1,
-                       [](int64_t, int64_t, int64_t, int64_t, int64_t, int64_t) {});
+  return intwtime_walk(
+      path, n_rows, max_user1, max_item1,
+      [](int64_t, int64_t, int64_t, int64_t, int64_t, int64_t) { return true; });
 }
 
-// Pass 2: fill the five [n_rows] int32 columns (file order preserved).
-int intwtime_fill(const char* path, int32_t* users, int32_t* items,
-                  int32_t* t1, int32_t* t2, int32_t* te) {
+// Pass 2: fill the five [capacity] int32 columns (file order preserved).
+// `capacity` is pass 1's row count; if the file grew between the passes
+// the walk stops at the buffer bound and returns 3 (callers fall back).
+int intwtime_fill(const char* path, int64_t capacity, int32_t* users,
+                  int32_t* items, int32_t* t1, int32_t* t2, int32_t* te) {
   int64_t r, mu, mi;
-  return intwtime_walk(
+  int rc = intwtime_walk(
       path, &r, &mu, &mi,
       [&](int64_t row, int64_t u1, int64_t i1, int64_t a, int64_t b, int64_t t) {
+        if (row >= capacity) return false;
         users[row] = (int32_t)u1;
         items[row] = (int32_t)i1;
         t1[row] = (int32_t)a;
         t2[row] = (int32_t)b;
         te[row] = (int32_t)t;
+        return true;
       });
+  if (rc == 0 && r != capacity) return 3;  // file shrank between passes
+  return rc;
 }
 
 }  // extern "C"

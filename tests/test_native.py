@@ -165,7 +165,12 @@ def test_intwtime_parse_matches_python(tmp_path, monkeypatch):
         np.testing.assert_array_equal(
             getattr(fast, field), getattr(slow, field), err_msg=field)
 
-    # malformed content (scientific notation the native parser refuses)
-    # falls back to Python rather than silently diverging
-    path.write_text("0,1,2,3,1e3\n")
-    assert native.parse_intwtime(str(path)) is None
+    # malformed content falls back to Python rather than silently
+    # diverging: scientific notation, blank lines (Python's int('')
+    # raises), and values outside int32 (numpy assignment raises)
+    for bad in ("0,1,2,3,1e3\n",
+                "0,1,2,3,4\n\n1,1,2,3,4\n",
+                f"0,1,2,3,{2**31 + 5}\n",
+                f"{2**31 - 1},1,2,3,4\n"):  # u+1 would overflow int32
+        path.write_text(bad)
+        assert native.parse_intwtime(str(path)) is None, bad
