@@ -209,10 +209,19 @@ def test_serve_http_host_end_to_end(trained_bsarec):
         _, seen_long = pad_requests([long], scorer.max_len, scorer.seen_width)
         np.testing.assert_array_equal(seen_long[0], long[-scorer.seen_width:])
 
-        # malformed request -> 400, not a crash
-        conn.request("POST", "/rank", "{bad json",
-                     {"Content-Type": "application/json"})
-        assert conn.getresponse().status == 400
+        # malformed request -> 400 JSON, not a crash or dropped
+        # connection — regardless of which exception type the body
+        # provokes (bad JSON -> ValueError, short seen_items ->
+        # IndexError, wrong-length user_ids -> an XLA shape error)
+        for bad in ("{bad json",
+                    json.dumps({"seen_items": [[1]]}),  # no input_ids
+                    json.dumps({"input_ids": hists, "seen_items": [[1]]}),
+                    json.dumps({"input_ids": hists, "user_ids": [1]})):
+            conn.request("POST", "/rank", bad,
+                         {"Content-Type": "application/json"})
+            resp = conn.getresponse()
+            err = json.loads(resp.read())
+            assert resp.status == 400 and "error" in err, (bad, err)
         assert rank_request(scorer, {"input_ids": []}) == {"topk": []}
     finally:
         server.shutdown()
