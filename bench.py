@@ -16,6 +16,30 @@ import time
 
 BASELINE_EXAMPLES_PER_SEC = 10_100.0
 
+# Framework's own dropout-free throughput ceiling on this config
+# (BASELINE.md "where the time actually goes": dropout off -> 301k ex/s,
+# measured round 2 on the chip). The headline number self-reports
+# against it so "fast" is judged against the chip, not just the
+# authors' GPU.
+NO_DROPOUT_CEILING = 301_000.0
+# v5e MXU peaks (chip spec; BASELINE.md roofline notes)
+PEAK_FLOPS = {"fp32": 99e12, "bf16": 197e12}
+
+
+def analytic_flops_per_example(L, H, V, layers, heads_intermediate=4):
+    """Matmul FLOPs per example for one TRAIN step of the parity BSARec
+    config (fwd + ~2x for backward). Counted: QKV/out projections
+    (4·L·H²), attention scores+context (2·L²·H), FFN (2·L·H·4H), the
+    frequency layer's [L, L] DFT projection (L²·H, `ops/frequency.py`),
+    and the last-position dense CE over the catalog (V·H). Elementwise
+    work (LayerNorm, GELU, dropout masks, softmax) is excluded — on this
+    config it dominates *time* (VPU-bound) but not FLOPs, which is the
+    point the emitted utilization makes."""
+    per_layer = (4 * L * H * H + 2 * L * L * H
+                 + 2 * L * H * heads_intermediate * H + L * L * H)
+    fwd = 2 * (per_layer * layers + V * H)  # MACs -> FLOPs
+    return 3 * fwd  # backward ~ 2x forward
+
 
 def _backend_reachable(timeout_s: float = 240.0) -> bool:
     """Probe jax backend init in a subprocess with a hard timeout.
@@ -70,6 +94,13 @@ def main():
         }))
         raise SystemExit(1)
 
+    # serialize against CPU-heavy jobs: overlapping them with on-chip
+    # work is the suspected relay-wedge trigger on this 1-core host
+    # (utils/heavylock.py; held until exit)
+    from bsarec_tpu.utils.heavylock import acquire
+
+    acquire("bench.py")
+
     if args.prng == "rbg":
         import jax
 
@@ -111,6 +142,14 @@ def main():
         trainer.valid(0)
     users_per_sec = n_evals * data.valid.num_users / (time.time() - t0)
 
+    # hardware-limit framing (VERDICT r3 item 5): FLOPs/example is
+    # analytic; utilization = achieved matmul FLOP/s over the MXU peak.
+    # Low %MXU is expected and honest — this config is VPU/RNG-bound
+    # (BASELINE.md), so the ceiling field is the meaningful one.
+    flops_ex = analytic_flops_per_example(
+        model_cfg.max_seq_length, model_cfg.hidden_size,
+        model_cfg.item_size, model_cfg.num_hidden_layers)
+
     # one driver-parsed JSON line; eval throughput rides as extra fields
     print(
         json.dumps(
@@ -121,6 +160,11 @@ def main():
                 "vs_baseline": round(ex_per_sec / BASELINE_EXAMPLES_PER_SEC, 3),
                 "eval_users_per_sec": round(users_per_sec, 1),
                 "eval_vs_baseline": round(users_per_sec / 3_250.0, 1),
+                "flops_per_example": flops_ex,
+                "pct_of_no_dropout_ceiling": round(
+                    100.0 * ex_per_sec / NO_DROPOUT_CEILING, 1),
+                "pct_of_mxu_peak": round(
+                    100.0 * ex_per_sec * flops_ex / PEAK_FLOPS[args.dtype], 2),
             }
         )
     )

@@ -22,6 +22,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    # serialize against other heavy jobs (wedge-proofing, CLAUDE.md)
+    from bsarec_tpu.utils.heavylock import acquire
+
+    acquire("batch_scaling.py")
+
     parser = argparse.ArgumentParser()
     parser.add_argument("--batches", default="256,1024,2048")
     parser.add_argument("--dtypes", default="float32,bfloat16")

@@ -48,6 +48,11 @@ def chain_rate(make_fn, args, ks=(2, 12)):
 
 
 def main():
+    # serialize against other heavy jobs (wedge-proofing, CLAUDE.md)
+    from bsarec_tpu.utils.heavylock import acquire
+
+    acquire("large_catalog.py")
+
     parser = argparse.ArgumentParser()
     parser.add_argument("--items", type=int, default=1_000_000)
     parser.add_argument("--batch", type=int, default=256)

@@ -44,6 +44,11 @@ def synthetic_long_corpus(n_users=3000, n_items=3500, seed=0):
 
 
 def main():
+    # serialize against other heavy jobs (wedge-proofing, CLAUDE.md)
+    from bsarec_tpu.utils.heavylock import acquire
+
+    acquire("longseq.py")
+
     parser = argparse.ArgumentParser()
     parser.add_argument("--models", default="bsarec,fearec,fmlprec")
     parser.add_argument("--epochs", type=int, default=3)

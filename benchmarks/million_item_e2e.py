@@ -58,6 +58,11 @@ def synth_corpus(n_users: int, n_items: int, seed: int = 0):
 
 
 def main():
+    # serialize against other heavy jobs (wedge-proofing, CLAUDE.md)
+    from bsarec_tpu.utils.heavylock import acquire
+
+    acquire("million_item_e2e.py")
+
     parser = argparse.ArgumentParser()
     parser.add_argument("--items", type=int, default=1_000_000)
     parser.add_argument("--users", type=int, default=50_000)

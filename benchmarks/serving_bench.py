@@ -66,6 +66,11 @@ def chain_ms(score, state, score_args, ks=(2, 12)):
 
 
 def main():
+    # serialize against other heavy jobs (wedge-proofing, CLAUDE.md)
+    from bsarec_tpu.utils.heavylock import acquire
+
+    acquire("serving_bench.py")
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--items", type=int, default=1_000_000)
     ap.add_argument("--hidden", type=int, default=64)

@@ -83,10 +83,14 @@ class TrainConfig:
     # epoch-scan unroll factor. Measured on the Beauty parity config
     # (v5e, rbg dropout): 2 -> 245k, 4 -> 254k, 8 -> 260k ex/s, then a
     # cliff (16/32 -> ~214k: the duplicated bodies blow the scheduling
-    # window). 1 halves peak activation memory (XLA schedules the
-    # unrolled bodies' residuals concurrently) — use 1 for long-sequence
-    # / many-layer configs that brush the HBM limit
-    scan_unroll: int = 8
+    # window). Unrolling multiplies peak activation memory (XLA
+    # schedules the unrolled bodies' residuals concurrently), so 0
+    # (default) = auto: start at the measured-fastest 8 and halve while
+    # the estimated unrolled residual footprint exceeds ~1 GiB
+    # (train/loop.py:resolve_scan_unroll) — long-sequence / many-layer
+    # configs downshift themselves instead of faulting the TPU worker.
+    # An explicit value (e.g. --scan_unroll 1) is honored verbatim.
+    scan_unroll: int = 0
     # rematerialize each encoder block's activations in the backward
     # (jax.checkpoint): trades ~1/3 more FLOPs for O(layers) less
     # residual memory — the standard long-context lever

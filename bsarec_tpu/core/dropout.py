@@ -36,7 +36,10 @@ import jax.numpy as jnp
 # the RNG savings on the VPU), "u8" (4x fewer RNG words bitcast to
 # uint8 lanes — no shifts, one compare; drop rate quantized to the
 # nearest 1/256, exact at the reference's p=0.5), "bernoulli" (stock
-# uniform-float path).
+# uniform-float path), "iota" (DIAGNOSTIC ONLY: a deterministic
+# alternating keep pattern from broadcasted_iota — zero RNG cost but
+# the full mask-apply cost, so paired sweeps can split the no-dropout
+# gap into generation vs apply; never use for real training).
 # Read at trace time (not import) so sweeps can flip it per compile.
 def _strategy() -> str:
     return os.environ.get("BSAREC_DROPOUT", "threshold")
@@ -91,6 +94,10 @@ def fast_dropout(rng, rate: float, x: jnp.ndarray) -> jnp.ndarray:
         keep = _keep_mask_bits(rng, x.shape)
     elif strategy == "u8":
         keep = _keep_mask_u8(rng, rate, x.shape)
+    elif strategy == "iota":  # diagnostic: RNG-free mask, real apply
+        dim = max(len(x.shape) - 1, 0)
+        idx = jax.lax.broadcasted_iota(jnp.uint32, x.shape or (1,), dim)
+        keep = ((idx & 1) == 0).reshape(x.shape)
     else:
         t = jnp.uint32(min(int(rate * (1 << 32)), (1 << 32) - 1))
         keep = jax.random.bits(rng, x.shape, jnp.uint32) >= t

@@ -126,10 +126,12 @@ def parse_args(argv=None):
     parser.add_argument("--hidden_dropout_prob", default=0.5, type=float)
     parser.add_argument("--initializer_range", default=0.02, type=float)
     parser.add_argument(
-        "--scan_unroll", default=8, type=int,
-        help="epoch-scan unroll factor (8 = fastest on the parity "
-        "config; use 1 for long-sequence/many-layer configs that brush "
-        "the HBM limit — see TrainConfig.scan_unroll)",
+        "--scan_unroll", default=0, type=int,
+        help="epoch-scan unroll factor; 0 (default) = auto: 8 (fastest "
+        "on the parity config), downshifted when the estimated unrolled "
+        "residual footprint brushes the HBM limit. Explicit values are "
+        "honored verbatim (--scan_unroll 1 minimizes peak memory) — see "
+        "TrainConfig.scan_unroll",
     )
     parser.add_argument(
         "--remat", action="store_true",
@@ -189,7 +191,7 @@ def configs_from_args(args, item_size: int, num_users: int):
         eval_impl=getattr(args, "eval_impl", "auto"),
         mesh=getattr(args, "mesh", ""),
         multihost=getattr(args, "multihost", False),
-        scan_unroll=getattr(args, "scan_unroll", 8),
+        scan_unroll=getattr(args, "scan_unroll", 0),
         remat=getattr(args, "remat", False),
     )
     return model_cfg, train_cfg

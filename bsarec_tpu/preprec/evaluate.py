@@ -164,9 +164,13 @@ def ensemble_ranks(scores: np.ndarray, loaded: np.ndarray, alphas, rng: np.rando
     ground truth sits in column 0). Returns one rank array per alpha.
 
     The reference's ensemble path ranks with a plain argsort — NO random
-    tie-break (only the non-ensemble path randomizes ties): with rng
-    None, ties count strictly-greater scores only, matching that. Pass
-    the run rng explicitly to opt into randomized ties."""
+    tie-break (only the non-ensemble path randomizes ties). With rng
+    None, ties count strictly-greater scores only, which matches the
+    reference exactly on tie-free scores but is a small SYSTEMATICALLY
+    OPTIMISTIC approximation on ties: the ground-truth column always
+    gets the best rank within its tie group, whereas the reference's
+    unstable np.argsort places it arbitrarily. Pass the run rng
+    explicitly to opt into randomized ties instead."""
     blends = [alpha * scores + (1.0 - alpha) * loaded for alpha in alphas]
     if rng is None:
         return [np.sum(b > b[:, :1], axis=1) for b in blends]

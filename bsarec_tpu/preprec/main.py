@@ -126,6 +126,11 @@ def parse(argv=None):
         action="store_true",
     )
     p.add_argument("--label", default="embed", type=str)
+    # AOT candidate-scorer export (no reference analog — repo-b has no
+    # serving path; see preprec/serving.py for the contract)
+    p.add_argument("--export_serving", default=None, type=str,
+                   help="write a params+popularity-baked jax.export "
+                   "candidate scorer to this path after training/eval")
     return p.parse_args(argv)
 
 
@@ -279,6 +284,16 @@ def main(argv=None):
         np.savetxt(os.path.join(write, f"preds{add}.txt"), trainer.eval_scores(args.mode))
     if args.save_ranks and not args.use_scores and ranks is not None:
         np.savetxt(os.path.join(write, f"{args.ranks_name}.txt"), ranks)
+
+    if args.export_serving:
+        from bsarec_tpu.preprec.serving import export_candidate_scorer
+
+        n_cands = build_eval_inputs(ds, cfg, args.mode, usernegs).cands.shape[1]
+        meta = export_candidate_scorer(
+            trainer.model, cfg, trainer.params, pop_enc, eval_pop,
+            args.maxlen, n_cands, args.export_serving,
+        )
+        logger.info(f"exported candidate scorer: {meta}")
     return metrics
 
 

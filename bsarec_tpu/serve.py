@@ -12,10 +12,14 @@ API:
 - `POST /rank` with JSON `{"input_ids": [[...], ...]}` (ragged histories
   fine; optional `"user_ids"`, `"seen_items"`) -> `{"topk": [[20 ids]]}`.
   Histories are left-padded/truncated to the artifact's max_len (the
-  training pipeline's layout, `data/pipeline.py`). By default every item
-  in a user's history is masked from their results, mirroring eval's
-  seen-item zeroing (`src/trainers.py:134`); pass `"mask_history": false
-  ` to rank over the full catalog.
+  training pipeline's layout, `data/pipeline.py`). By default a user's
+  history items are masked to -inf and can never appear in their
+  results; pass `"mask_history": false` to rank over the full catalog.
+  The seen mask holds at most the artifact's `seen_width` ids (the
+  MOST-RECENT ones — longer histories lose masking of their oldest
+  items); when that cap truncates any request the response carries
+  `"seen_truncated": [row indices]`. `seen_width` is reported by
+  /healthz.
 
 The artifact is batch-polymorphic, but each distinct batch size still
 AOT-compiles once on first use; the host warms up batch 1 at startup.
@@ -43,13 +47,18 @@ def pad_requests(histories, max_len: int, seen_width: int,
 
     Left-pads (pad id 0) or left-truncates each history to `max_len`
     (most-recent items kept, matching `data/pipeline.py`'s layout), and
-    builds `seen_items` from the FULL untruncated history unless given
-    explicitly — eval masks everything the user ever rated, not just the
-    model's context window.
+    builds `seen_items` from the history unless given explicitly — up to
+    the artifact's fixed `seen_width` capacity: histories longer than
+    that keep their MOST-RECENT `seen_width` ids and lose masking of the
+    oldest (seen_width is sized to the training data's max history, so
+    this only bites on out-of-distribution requests). Returns
+    (input_ids, seen, truncated_rows) where `truncated_rows` lists the
+    indices whose seen mask was capped.
     """
     b = len(histories)
     input_ids = np.zeros((b, max_len), np.int32)
     seen = np.zeros((b, seen_width), np.int32)
+    truncated = []
     for i, h in enumerate(histories):
         h = list(h)
         if h:
@@ -58,10 +67,14 @@ def pad_requests(histories, max_len: int, seen_width: int,
         if seen_items is not None:
             s = list(seen_items[i])[:seen_width]
             seen[i, :len(s)] = s
+            if len(seen_items[i]) > seen_width:
+                truncated.append(i)
         elif mask_history:
             s = h[-seen_width:]
             seen[i, :len(s)] = s
-    return input_ids, seen
+            if len(h) > seen_width:
+                truncated.append(i)
+    return input_ids, seen, truncated
 
 
 def rank_request(scorer: Scorer, payload: dict) -> dict:
@@ -69,7 +82,7 @@ def rank_request(scorer: Scorer, payload: dict) -> dict:
     histories = payload["input_ids"]
     if not histories:
         return {"topk": []}
-    input_ids, seen = pad_requests(
+    input_ids, seen, truncated = pad_requests(
         histories, scorer.max_len, scorer.seen_width,
         mask_history=payload.get("mask_history", True),
         seen_items=payload.get("seen_items"),
@@ -78,7 +91,10 @@ def rank_request(scorer: Scorer, payload: dict) -> dict:
     if user_ids is not None:
         user_ids = np.asarray(user_ids, np.int32)
     topk = scorer.topk(input_ids, user_ids, seen)
-    return {"topk": topk.tolist()}
+    out = {"topk": topk.tolist()}
+    if truncated:  # seen mask capped at seen_width for these rows
+        out["seen_truncated"] = truncated
+    return out
 
 
 def make_server(scorer: Scorer, host: str = "127.0.0.1", port: int = 0):

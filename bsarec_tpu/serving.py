@@ -1,9 +1,13 @@
 """AOT serving export: a self-contained, params-baked top-k scorer.
 
-`export_scorer` serializes the exact eval-time ranking computation
-(`model.predict` last-position state x item table, seen-items zeroed
-like the reference's `rating_pred[seen] = 0` at `src/trainers.py:134`,
-`lax.top_k(20)`) into a `jax.export` StableHLO artifact:
+`export_scorer` serializes the eval-time ranking computation
+(`model.predict` last-position state x item table, `lax.top_k(20)`)
+into a `jax.export` StableHLO artifact. One deliberate divergence from
+the metric path: serving masks seen items (and the padding id 0) to
+**-inf**, so a user's history can never appear in their served results
+— the reference's `rating_pred[seen] = 0` quirk (`src/trainers.py:134`)
+is kept only in the eval path (`ops/topk.py:masked_topk`) where HR/NDCG
+parity requires it. Artifact properties:
 
 - **params are baked in as constants** — the artifact is one file that
   needs no checkpoint, no model code, and no bsarec_tpu import to run;
@@ -30,9 +34,21 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from bsarec_tpu.ops.topk import masked_topk
-
 SERVING_CALL_DOC = "(input_ids [b, L] i32, user_ids [b] i32, seen_items [b, S] i32) -> [b, 20] i32"
+
+
+def serving_masked_topk(logits: jnp.ndarray, seen_items: jnp.ndarray, k: int = 20):
+    """Serving-contract masking: seen ids AND the padding column 0 go to
+    -inf before top-k, so history items can never outrank real
+    candidates even when every unseen logit is negative. (seen_items is
+    0-padded; pad entries land on column 0, which is masked anyway.)
+    The metric/eval path instead keeps the reference's score:=0.0 quirk
+    (`ops/topk.py:masked_topk`, `src/trainers.py:134`) — a parity
+    requirement for HR/NDCG, not a serving contract."""
+    batch = jnp.arange(logits.shape[0])[:, None]
+    logits = logits.at[batch, seen_items].set(-jnp.inf)
+    logits = logits.at[:, 0].set(-jnp.inf)
+    return jax.lax.top_k(logits, k)
 
 
 def quantize_rows(x):
@@ -69,11 +85,13 @@ def int8_logits(state, table):
 
 def build_scoring_fn(model, item_size: int, dtype: str = "float32", k: int = 20,
                      quant: str | None = None):
-    """The eval-exact ranking computation as a pure fn of params.
+    """The serving ranking computation as a pure fn of params.
 
-    Mirrors `train/loop.py:build_eval_fn`'s dense branch (the tied-table
-    matmul of `src/trainers.py:62-68`, `table[:item_size]` trimming
-    BERT4Rec's [mask] column like `src/trainers.py:133-137`).
+    Logits mirror `train/loop.py:build_eval_fn`'s dense branch (the
+    tied-table matmul of `src/trainers.py:62-68`, `table[:item_size]`
+    trimming BERT4Rec's [mask] column like `src/trainers.py:133-137`);
+    masking uses the serving contract (`serving_masked_topk`: seen and
+    padding ids to -inf), not the eval path's reference-parity zeroing.
     `quant='int8'` swaps the catalog matmul for `int8_logits`.
     """
     if quant not in (None, "int8"):
@@ -96,7 +114,7 @@ def build_scoring_fn(model, item_size: int, dtype: str = "float32", k: int = 20,
                 table[:item_size].astype(dt),
                 preferred_element_type=jnp.float32,
             )
-        _, topk_idx = masked_topk(logits, seen_items, k=k)
+        _, topk_idx = serving_masked_topk(logits, seen_items, k=k)
         return topk_idx
 
     return score_topk

@@ -80,6 +80,44 @@ def sample_negatives(key, input_ids, answers, item_size, rounds: int = 8):
     return cand
 
 
+# ~1 GiB of concurrently-live residuals: unrolled scan bodies keep all
+# their activation residuals alive at once, and this host's TPU workers
+# fault ungracefully when HBM-resident state nears the limit (CLAUDE.md)
+_UNROLL_RESID_BUDGET_BYTES = 1 << 30
+
+
+def resolve_scan_unroll(requested: int, model_cfg, batch_size: int,
+                        dense_loss: bool = True):
+    """Effective epoch-scan unroll factor.
+
+    requested > 0 is honored verbatim (the explicit `--scan_unroll`
+    escape hatch; 1 minimizes peak residual memory). requested == 0
+    ("auto") starts from the measured-fastest 8 (v5e parity config:
+    2 -> 245k, 4 -> 254k, 8 -> 260k ex/s) and halves while the estimated
+    unrolled residual footprint exceeds ~1 GiB, so long-sequence /
+    many-layer / huge-catalog configs downshift instead of faulting the
+    TPU worker. The estimate is a coarse f32 activation count: ~8
+    [B, L, H] tensors per encoder layer, attention probs
+    [B, heads, L, L] (fwd + dropout mask), and — when the full-vocab CE
+    is dense — the [B, V] logits fwd+bwd.
+
+    Returns (unroll, estimated_bytes_per_body).
+    """
+    B, L, H = batch_size, model_cfg.max_seq_length, model_cfg.hidden_size
+    layers = model_cfg.num_hidden_layers
+    per_body = B * L * H * 8 * layers
+    per_body += B * model_cfg.num_attention_heads * L * L * 2 * layers
+    if dense_loss:
+        per_body += 2 * B * model_cfg.item_size
+    est = per_body * 4
+    if requested > 0:
+        return requested, est
+    unroll = 8
+    while unroll > 1 and est * unroll > _UNROLL_RESID_BUDGET_BYTES:
+        unroll //= 2
+    return unroll, est
+
+
 def build_train_epoch(model, tx, item_size: int, batch_size: int, num_samples: int, with_sem: bool, mesh=None, unroll: int = 2, remat: bool = False):
     """Returns a jitted `epoch(params, opt_state, key, inputs, answers,
     users, sem) -> (params, opt_state, mean_loss)`.
@@ -214,10 +252,12 @@ def build_eval_fn(model, item_size: int, batch_size: int, num_users: int, impl: 
     "auto" picks streaming on TPU for production-scale catalogs.
     `dtype` is the scoring-matmul compute dtype (the bf16 policy).
 
-    collect_topk: the serving/export variant — the jitted fn instead
-    returns the [num_users, 20] top-k ITEM IDS per user (catalog row i
-    is item id i), seen-items masked, the same ranking the metrics are
-    computed from (`--export_topk`)."""
+    collect_topk: the export variant — the jitted fn instead returns
+    the [num_users, 20] top-k ITEM IDS per user (catalog row i is item
+    id i), seen-items masked, the same ranking the metrics are computed
+    from (`--export_topk`; reference-parity 0.0-zeroing of seen items —
+    the `--export_serving` artifact instead masks them to -inf, see
+    `serving.py:serving_masked_topk`)."""
     steps = math.ceil(num_users / batch_size)
     padded = steps * batch_size
     if impl == "auto":

@@ -146,6 +146,27 @@ class Trainer:
                 "answers": jnp.asarray(data.train.answers),
                 "users": jnp.asarray(data.train.user_ids),
             }
+            from bsarec_tpu.ops.losses import STREAMING_CE_MIN_VOCAB
+            from bsarec_tpu.train.loop import resolve_scan_unroll
+
+            dense_loss = not (
+                model_cfg.loss_impl in ("streaming", "sharded_streaming")
+                or (
+                    model_cfg.loss_impl == "auto"
+                    and model_cfg.item_size >= STREAMING_CE_MIN_VOCAB
+                    and jax.default_backend() == "tpu"
+                )
+            )
+            unroll, est = resolve_scan_unroll(
+                train_cfg.scan_unroll, model_cfg, train_cfg.batch_size,
+                dense_loss=dense_loss,
+            )
+            if train_cfg.scan_unroll == 0 and unroll < 8:
+                logger.info(
+                    f"scan_unroll auto-downshifted to {unroll} "
+                    f"(~{est >> 20} MiB residuals per step body; pass "
+                    f"--scan_unroll to override)"
+                )
             self._epoch_fn, self.steps_per_epoch = build_train_epoch(
                 self.model,
                 self.tx,
@@ -154,7 +175,7 @@ class Trainer:
                 data.train.num_samples,
                 self.with_sem,
                 mesh=self.mesh,
-                unroll=train_cfg.scan_unroll,
+                unroll=unroll,
                 remat=train_cfg.remat,
             )
         self._eval_fn, _, self.eval_impl = build_eval_fn(

@@ -275,6 +275,49 @@ def test_score_export_and_ensembling(synth_dataset, tmp_path):
     np.testing.assert_array_equal(ranks_a0, np.sum(loaded > loaded[:, :1], axis=1))
 
 
+def test_export_candidate_scorer_roundtrip(synth_dataset, tmp_path):
+    """The AOT PREPRec serving artifact (params + popularity tables
+    baked; `preprec/serving.py`) reproduces the in-process eval scores
+    exactly, at any batch size, and its topk is the argsort of them."""
+    from bsarec_tpu.preprec.evaluate import build_eval_inputs
+    from bsarec_tpu.preprec.serving import (
+        export_candidate_scorer,
+        load_candidate_scorer,
+    )
+
+    prefix, _ = synth_dataset
+    ds, cfg, pop, negs = _make_cfg(prefix, "newrec")
+    tcfg = PrepRecTrainConfig(batch_size=16, num_epochs=1, epoch_test=1, seed=7)
+    tr = PrepRecTrainer(cfg, tcfg, ds, _logger(), str(tmp_path / "srv"),
+                        pop_enc=pop, usernegs=negs)
+    tr.train_epoch()
+    want = tr.eval_scores("valid")  # [U, C] via make_eval_fn
+
+    inputs = build_eval_inputs(ds, cfg, "valid", negs)
+    path = str(tmp_path / "preprec_scorer.jaxexp")
+    meta = export_candidate_scorer(
+        tr.model, cfg, tr.params, pop, None,
+        cfg.maxlen, inputs.cands.shape[1], path)
+    assert meta["bytes"] > 0 and meta["model"] == "newrec"
+
+    scorer = load_candidate_scorer(path)
+    assert scorer.seq_len == cfg.maxlen
+    assert scorer.n_cands == inputs.cands.shape[1]
+    got = scorer.scores(inputs.seqs, inputs.t1, inputs.t2, inputs.cands,
+                        inputs.cand_t1, inputs.cand_t2, inputs.users)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    # batch-polymorphic: a 3-row slice reuses the same artifact
+    got3 = scorer.scores(inputs.seqs[:3], inputs.t1[:3], inputs.t2[:3],
+                         inputs.cands[:3], inputs.cand_t1[:3],
+                         inputs.cand_t2[:3], inputs.users[:3])
+    np.testing.assert_allclose(got3, want[:3], rtol=1e-5, atol=1e-5)
+    top = scorer.topk(inputs.seqs[:3], inputs.t1[:3], inputs.t2[:3],
+                      inputs.cands[:3], inputs.cand_t1[:3],
+                      inputs.cand_t2[:3], inputs.users[:3], k=5)
+    np.testing.assert_array_equal(
+        top, np.argsort(-got3, axis=1, kind="stable")[:, :5])
+
+
 def test_mostpop_vectorized_exclusion_matches_loop():
     """The [U, V+1] scatter-based rated-item exclusion equals the
     reference-shaped per-user np.isin loop (`repo-b/utils.py:867-871`),

@@ -1,8 +1,9 @@
 """AOT serving export (`bsarec_tpu/serving.py`, `--export_serving`).
 
-The artifact is a params-baked, batch-polymorphic jax.export blob of the
-eval-exact ranking (predict -> tied-table matmul -> seen-zeroing ->
-top-20, `src/trainers.py:62-68,134,142-149` semantics)."""
+The artifact is a params-baked, batch-polymorphic jax.export blob of
+predict -> tied-table matmul (`src/trainers.py:62-68`) -> serving-
+contract masking (seen items and padding id 0 to -inf, NOT the eval
+path's reference-parity zeroing) -> top-20."""
 
 import json
 import logging
@@ -64,22 +65,26 @@ def trained_bsarec(tmp_path_factory):
     return t, data, model_cfg, path, meta
 
 
-def test_serving_export_matches_export_topk(trained_bsarec):
-    """The deserialized artifact reproduces the --export_topk serving
-    ranking exactly on the real test split (any batch size — the blob
-    is batch-polymorphic, here the full user count at once)."""
+def test_serving_export_roundtrip_and_contract(trained_bsarec):
+    """The deserialized artifact reproduces a fresh trace of the scoring
+    fn exactly on the real test split (full user count at once — the
+    blob is batch-polymorphic), and honors the serving contract: no
+    served id is in the user's seen set, and id 0 is never served."""
     t, data, model_cfg, path, meta = trained_bsarec
     assert meta["bytes"] > 0 and meta["platforms"] == ["cpu", "tpu"]
 
     scorer = load_scorer(path)
     assert scorer.max_len == 10
-    got = scorer.topk(
-        data.test.input_ids,
-        np.arange(data.test.num_users, dtype=np.int32),
-        data.test.seen_items,
-    )
-    want = t.export_topk("test")
-    np.testing.assert_array_equal(got, want)
+    uids = np.arange(data.test.num_users, dtype=np.int32)
+    got = scorer.topk(data.test.input_ids, uids, data.test.seen_items)
+    fn = build_scoring_fn(t.model, model_cfg.item_size)
+    want = fn(t.params, jnp.asarray(data.test.input_ids), jnp.asarray(uids),
+              jnp.asarray(data.test.seen_items))
+    np.testing.assert_array_equal(got, np.asarray(want))
+    seen = np.asarray(data.test.seen_items)
+    assert (got == 0).sum() == 0  # padding id never served
+    for u in range(seen.shape[0]):  # history never served
+        assert not set(got[u]) & (set(seen[u]) - {0}), u
 
 
 def test_serving_scorer_batch_polymorphic_and_defaults(trained_bsarec):
@@ -102,20 +107,19 @@ def test_serving_scorer_batch_polymorphic_and_defaults(trained_bsarec):
 def test_serving_export_bert4rec_shift_and_mask_trim(tmp_path):
     """BERT4Rec's eval-time sequence shift happens inside `predict` and
     the [mask] vocab column is trimmed serving-side (`table[:item_size]`,
-    `src/trainers.py:133-137` semantics) — the artifact must match the
-    eval ranking exactly."""
+    `src/trainers.py:133-137` semantics) — the artifact must match a
+    fresh trace of the scoring fn exactly."""
     t, data, model_cfg = _trained(tmp_path, model_type="bert4rec")
     path = str(tmp_path / "b4r.jaxexp")
     export_scorer(t.model, t.params, model_cfg.item_size, 10,
                   data.test.seen_items.shape[1], path)
     scorer = load_scorer(path)
-    got = scorer.topk(
-        data.test.input_ids,
-        np.arange(data.test.num_users, dtype=np.int32),
-        data.test.seen_items,
-    )
-    want = t.export_topk("test")
-    np.testing.assert_array_equal(got, want)
+    uids = np.arange(data.test.num_users, dtype=np.int32)
+    got = scorer.topk(data.test.input_ids, uids, data.test.seen_items)
+    fn = build_scoring_fn(t.model, model_cfg.item_size)
+    want = fn(t.params, jnp.asarray(data.test.input_ids), jnp.asarray(uids),
+              jnp.asarray(data.test.seen_items))
+    np.testing.assert_array_equal(got, np.asarray(want))
     assert got.max() < model_cfg.item_size  # [mask] id never recommended
 
 
@@ -155,14 +159,17 @@ def test_pad_requests_layout():
     from bsarec_tpu.serve import pad_requests
 
     hists = [[5, 6], [1, 2, 3, 4, 5, 6, 7], []]
-    ids, seen = pad_requests(hists, max_len=4, seen_width=6)
+    ids, seen, truncated = pad_requests(hists, max_len=4, seen_width=6)
     np.testing.assert_array_equal(ids[0], [0, 0, 5, 6])
     np.testing.assert_array_equal(ids[1], [4, 5, 6, 7])  # truncates left
     np.testing.assert_array_equal(ids[2], [0, 0, 0, 0])
     np.testing.assert_array_equal(seen[0], [5, 6, 0, 0, 0, 0])
-    np.testing.assert_array_equal(seen[1], [2, 3, 4, 5, 6, 7])  # full history
-    ids2, seen2 = pad_requests(hists, 4, 6, mask_history=False)
-    assert seen2.sum() == 0 and np.array_equal(ids2, ids)
+    # seen mask caps at seen_width, keeping the MOST-RECENT ids, and the
+    # capped row is reported
+    np.testing.assert_array_equal(seen[1], [2, 3, 4, 5, 6, 7])
+    assert truncated == [1]
+    ids2, seen2, trunc2 = pad_requests(hists, 4, 6, mask_history=False)
+    assert seen2.sum() == 0 and np.array_equal(ids2, ids) and trunc2 == []
 
 
 def test_serve_http_host_end_to_end(trained_bsarec):
@@ -190,13 +197,13 @@ def test_serve_http_host_end_to_end(trained_bsarec):
         conn.request("POST", "/rank", body,
                      {"Content-Type": "application/json"})
         got = json.loads(conn.getresponse().read())["topk"]
-        ids, seen = pad_requests(hists, scorer.max_len, scorer.seen_width)
+        ids, seen, _ = pad_requests(hists, scorer.max_len, scorer.seen_width)
         want = scorer.topk(ids, None, seen)
         np.testing.assert_array_equal(np.asarray(got), want)
-        # seen masking is eval-exact (score := 0.0, `src/trainers.py:134`,
-        # not -inf): a history item outranks only negative-scored items.
-        # Pin that against a no-masking request instead of asserting
-        # absence, which the reference semantics don't guarantee.
+        # serving contract: -inf masking means a user's history (and the
+        # padding id 0) literally never appears in their results
+        for row, hist in zip(got, hists):
+            assert not set(row) & (set(hist) | {0}), (row, hist)
         conn.request("POST", "/rank",
                      json.dumps({"input_ids": hists, "mask_history": False}),
                      {"Content-Type": "application/json"})
@@ -205,9 +212,17 @@ def test_serve_http_host_end_to_end(trained_bsarec):
 
         # a history longer than the artifact's seen capacity masks its
         # most-recent seen_width items (the overflow drops the oldest)
+        # and the response flags the capped row
         long = list(range(1, 15))
-        _, seen_long = pad_requests([long], scorer.max_len, scorer.seen_width)
-        np.testing.assert_array_equal(seen_long[0], long[-scorer.seen_width:])
+        if len(long) > scorer.seen_width:
+            _, seen_long, trunc = pad_requests(
+                [long], scorer.max_len, scorer.seen_width)
+            np.testing.assert_array_equal(
+                seen_long[0], long[-scorer.seen_width:])
+            assert trunc == [0]
+            conn.request("POST", "/rank", json.dumps({"input_ids": [long]}),
+                         {"Content-Type": "application/json"})
+            assert json.loads(conn.getresponse().read())["seen_truncated"] == [0]
 
         # malformed request -> 400 JSON, not a crash or dropped
         # connection — regardless of which exception type the body
