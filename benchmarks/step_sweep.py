@@ -23,7 +23,10 @@ import argparse
 import json
 import logging
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run_point(data, unroll: int, dropout: float = 0.5) -> float:

@@ -16,11 +16,30 @@ lock files to clean up after a crash).
 from __future__ import annotations
 
 import fcntl
+import os
 import sys
 
 LOCK_PATH = "/tmp/bsarec_tpu_heavy.lock"
 
 _held = []  # keep the fd alive for the process lifetime
+
+
+def _lock_fd_inherited() -> bool:
+    """True if an ancestor's lock fd was inherited (e.g. the recovery
+    queue's `exec 9>lock; flock 9`) — the flock lives on the shared open
+    file description, so this process already holds it and re-flocking a
+    fresh descriptor would deadlock against our own parent."""
+    try:
+        fds = os.listdir("/proc/self/fd")
+    except OSError:
+        return False
+    for fd in fds:
+        try:
+            if os.readlink(f"/proc/self/fd/{fd}") == LOCK_PATH:
+                return True
+        except OSError:
+            continue
+    return False
 
 
 def acquire(label: str = "", block: bool = True) -> bool:
@@ -29,6 +48,8 @@ def acquire(label: str = "", block: bool = True) -> bool:
     Returns True on acquisition; with block=False, returns False
     immediately if another heavy job holds it.
     """
+    if _held or _lock_fd_inherited():
+        return True  # reentrant: we (or an ancestor sharing our fd) hold it
     fh = open(LOCK_PATH, "w")
     try:
         fcntl.flock(fh, fcntl.LOCK_EX | (0 if block else fcntl.LOCK_NB))
