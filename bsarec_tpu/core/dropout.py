@@ -30,13 +30,17 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-# rbg-path mask construction: "threshold" (integer compare on full-size
-# random words — measured fastest on v5e), "bits" (32x fewer RNG words
-# via bit-unpacking at p=0.5 — the unpack's shift/AND/pad work cancels
-# the RNG savings on the VPU), "u8" (4x fewer RNG words bitcast to
-# uint8 lanes — no shifts, one compare; drop rate quantized to the
-# nearest 1/256, exact at the reference's p=0.5), "bernoulli" (stock
-# uniform-float path), "iota" (DIAGNOSTIC ONLY: a deterministic
+# rbg-path mask construction, on-chip paired sweep at the bench config
+# (v5e, results/r3_runs/sweep_dropout_onchip.log): "threshold" (integer
+# compare on full-size random words — fastest, 267.1k ex/s), "bits"
+# (32x fewer RNG words via bit-unpacking at p=0.5 — the unpack's
+# shift/AND/pad work cancels the RNG savings on the VPU, 260.8k), "u8"
+# (4x fewer RNG words bitcast to uint8 lanes — no shifts, one compare,
+# but still slower than threshold, 248.3k: the bitcast relayout +
+# sub-word compare cost more than the saved RNG words; drop rate
+# quantized to the nearest 1/256, exact at the reference's p=0.5),
+# "bernoulli" (stock uniform-float path, 220.9k), "iota" (DIAGNOSTIC
+# ONLY: a deterministic
 # alternating keep pattern from broadcasted_iota — zero RNG cost but
 # the full mask-apply cost, so paired sweeps can split the no-dropout
 # gap into generation vs apply; never use for real training).
