@@ -31,7 +31,16 @@ def main():
     parser.add_argument("--batches", default="256,1024,2048")
     parser.add_argument("--dtypes", default="float32,bfloat16")
     parser.add_argument("--epochs", type=int, default=2)
+    parser.add_argument(
+        "--prng", default="rbg", choices=("rbg", "threefry"),
+        help="rbg matches the shipped FastDropout defaults (bench.py); "
+        "threefry reproduces the reference-parity RNG stream")
     args = parser.parse_args()
+
+    if args.prng == "rbg":
+        import jax
+
+        jax.config.update("jax_default_prng_impl", "rbg")
 
     from bsarec_tpu.config import ModelConfig, TrainConfig
     from bsarec_tpu.data.corpus import load_corpus

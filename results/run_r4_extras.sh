@@ -26,7 +26,26 @@ timeout 3600 python benchmarks/step_sweep.py --lever component \
 timeout 5400 python -m bsarec_tpu.main --data_name LastFM --model_type BSARec \
   --c 3 --alpha 0.9 --lr 0.001 --num_attention_heads 1 --seed 42 \
   --max_seq_length 200 --output_dir $OUT/ --train_name q4_LastFM_L200 \
-  2>&1 | tee $OUT/q4_LastFM_L200.log
+  2>&1 | tee $OUT/q4_LastFM_L200.console.log
+
+# 1b. Batch-size/dtype sweep at the shipped rbg defaults (the backlog's
+#     run predates batch_scaling.py's --prng flag and measured threefry).
+timeout 2400 python benchmarks/batch_scaling.py \
+  2>&1 | tee $OUT/batch_scaling_rbg.log
+
+# 2b. Beauty threefry seed band: the 5-seed rbg band (q3_Beauty_seed*)
+#     tops out at HR@5 .0730 while the reference's single seed logged
+#     .0736 — these runs separate "rbg stream shifts quality slightly"
+#     from "run variance" (round-1 threefry parity run hit .0721).
+for seed in 42 1 2; do
+  f=$OUT/q4_Beauty_threefry_seed${seed}.log
+  if [ -f "$f" ] && grep -q "Test Score" "$f"; then echo "skip $f"; continue; fi
+  # (no tee: main.py's logger owns $f — teeing the same path would clobber)
+  timeout 3600 python -m bsarec_tpu.main --data_name Beauty --model_type BSARec \
+    --num_attention_heads 1 --lr 0.0005 --alpha 0.7 --c 5 --prng threefry \
+    --seed $seed --output_dir $OUT/ --train_name q4_Beauty_threefry_seed${seed} \
+    || echo "FAILED seed $seed"
+done
 
 # 3. Head-to-head: mounted reference programs executed HERE (torch CPU)
 #    vs this framework on identical data (VERDICT r3 item 3a+3b).
