@@ -141,6 +141,13 @@ def main():
         "--dataset", "synthB", "--model", "newrec", "--train_dir", "ref_zs",
         "--transfer", "--state_dict_path", best, *COMMON],
         logdir="res/synthB/ref_zs") if os.path.exists(best) else {}
+    # repo-b/utils.py:353 loads f"./data{dataset}_rawpop.txt" — no slash,
+    # unlike every data.py path (its authors' dataset names carry a
+    # directory prefix); give the mostpop leg that quirk path as a
+    # symlink to the real file so the mounted code runs unmodified
+    quirk = os.path.join(args.workdir, "datasynthB_rawpop.txt")
+    if not os.path.lexists(quirk):
+        os.symlink(os.path.join("data", "synthB_rawpop.txt"), quirk)
     ref_pop = run_reference(args.workdir, [
         "--dataset", "synthB", "--model", "mostpop", *COMMON])
     rows["reference"] = {"train_A": ref_train, "zero_shot_A_to_B": ref_zs,

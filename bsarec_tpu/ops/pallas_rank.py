@@ -84,6 +84,65 @@ def build_seen_bitmask(seen_items: np.ndarray, vocab_size: int,
     return out.view(np.int32)
 
 
+# Above this many bytes of staged [num_users, Vp/32] bitmasks (valid +
+# test splits together), the Trainer keeps the tiny [U, S] seen-id lists
+# in HBM instead and builds each batch's [B, Vp/32] bitmask on device
+# inside the eval scan (`seen_ids_to_bitmask`). 256 MiB keeps the
+# prebuilt fast path for every mounted dataset (Beauty: 2 x 34 MB)
+# while a 1M-item x 50k-user catalog (2 x 6.25 GB — the round-4
+# million_item_e2e OOM) switches to O(B·V) transient masks.
+SEEN_BITMASK_STAGE_LIMIT = 256 * 2**20
+
+
+def dedupe_seen_rows(seen_items: np.ndarray) -> np.ndarray:
+    """Zero duplicate ids within each row (host-side, vectorized).
+
+    `seen_ids_to_bitmask` ORs single-bit contributions with a
+    scatter-ADD, which is only OR when each (row, id) appears once —
+    user histories can repeat items, so rows are deduplicated at
+    staging time. Returns a sorted, 0-padded copy (row order is
+    irrelevant to masking)."""
+    s = np.sort(seen_items.astype(np.int32), axis=1)
+    dup = np.zeros_like(s, dtype=bool)
+    dup[:, 1:] = s[:, 1:] == s[:, :-1]
+    s[dup] = 0
+    return s
+
+
+def seen_ids_to_bitmask(seen_ids, vocab_size: int):
+    """Device-side `build_seen_bitmask`: [B, S] 0-padded seen-id lists
+    (UNIQUE per row — see `dedupe_seen_rows`) -> [B, Vp/32] int32
+    bitmask in the same bit-plane-per-tile layout.
+
+    Built per eval batch inside the jitted eval scan, so the staged
+    footprint is the O(U·S) id lists instead of the O(U·Vp/32) host
+    bitmask — at 1M items x 50k users that is 3 MB resident + 32 MB
+    transient per batch vs 2 x 6.25 GB staged (which RESOURCE_EXHAUSTs
+    the chip). The OR is a scatter-add of per-id single-bit words:
+    distinct ids always land on distinct (word, bit) pairs, so with
+    unique rows no carries can occur. Padding (id 0) routes to a dump
+    word that is sliced off; item 0's bit is then set unconditionally
+    (reference semantics: 0-padded seen lists zero column 0 for every
+    user, `src/trainers.py:134`)."""
+    b, s = seen_ids.shape
+    w = TILE_COLS // 32
+    vp = -(-vocab_size // TILE_COLS) * TILE_COLS
+    nw = vp // 32
+    ids = seen_ids.astype(jnp.int32)
+    u = ids % TILE_COLS
+    word = (ids // TILE_COLS) * w + u % w
+    bit = (u // w).astype(jnp.uint32)
+    valid = ids > 0
+    word = jnp.where(valid, word, nw)  # padding -> dump word
+    contrib = jnp.where(valid, jnp.uint32(1) << bit, jnp.uint32(0))
+    rows = jnp.broadcast_to(jnp.arange(b)[:, None], (b, s))
+    out = jnp.zeros((b, nw + 1), jnp.uint32)
+    out = out.at[rows, word].add(contrib)
+    # item 0 = word 0 bit 0, and no id > 0 maps there: add == OR
+    out = out[:, :nw].at[:, 0].add(jnp.uint32(1))
+    return jax.lax.bitcast_convert_type(out, jnp.int32)
+
+
 def build_seen_bitmask_sharded(seen_items: np.ndarray, vocab_size: int,
                                n_shards: int) -> np.ndarray:
     """Per-shard bitmask stack [n_shards, B, rows_p/32] for a vocab

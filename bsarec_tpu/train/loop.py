@@ -109,6 +109,12 @@ def resolve_scan_unroll(requested: int, model_cfg, batch_size: int,
     per_body += B * model_cfg.num_attention_heads * L * L * 2 * layers
     if dense_loss:
         per_body += 2 * B * model_cfg.item_size
+    else:
+        # streaming CE: each unrolled body materializes a full [V, H]
+        # item-table gradient — at 1M x 64 that is 256 MiB/body, and
+        # XLA does not reliably chain their liveness across unrolled
+        # bodies (round-4 million_item_e2e RESOURCE_EXHAUSTED)
+        per_body += model_cfg.item_size * H
     est = per_body * 4
     if requested > 0:
         return requested, est
@@ -239,7 +245,7 @@ def build_train_step(model, tx, item_size: int, with_sem: bool, mesh=None, remat
 STREAMING_RANK_MIN_VOCAB = 262_144
 
 
-def build_eval_fn(model, item_size: int, batch_size: int, num_users: int, impl: str = "auto", mesh=None, dtype: str = "float32", collect_topk: bool = False):
+def build_eval_fn(model, item_size: int, batch_size: int, num_users: int, impl: str = "auto", mesh=None, dtype: str = "float32", collect_topk: bool = False, seen_format: str = "bitmask"):
     """Returns a jitted `evaluate(params, inputs, answers, seen) ->
     metric sums` (see `ops.topk.topk_metrics` layout).
 
@@ -251,6 +257,15 @@ def build_eval_fn(model, item_size: int, batch_size: int, num_users: int, impl: 
     [m, B, W] bitmask stack from `build_seen_bitmask_sharded`);
     "auto" picks streaming on TPU for production-scale catalogs.
     `dtype` is the scoring-matmul compute dtype (the bf16 policy).
+
+    seen_format (streaming impl only): "bitmask" passes the prebuilt
+    [U, Vp/32] bitmask straight to the sweep; "ids" passes the 0-padded
+    UNIQUE-per-row [U, S] seen-id lists and builds each batch's
+    [B, Vp/32] bitmask on device (`ops.pallas_rank.seen_ids_to_bitmask`)
+    — the Trainer switches to "ids" when staging both splits' bitmasks
+    would exceed `SEEN_BITMASK_STAGE_LIMIT` (huge catalogs: 1M items x
+    50k users is 2 x 6.25 GB staged, a chip OOM). The dense path always
+    takes id lists; sharded_streaming keeps host-prebuilt shard stacks.
 
     collect_topk: the export variant — the jitted fn instead returns
     the [num_users, 20] top-k ITEM IDS per user (catalog row i is item
@@ -282,10 +297,16 @@ def build_eval_fn(model, item_size: int, batch_size: int, num_users: int, impl: 
             )
             state = out[:, -1, :]
             if impl == "streaming":
-                from bsarec_tpu.ops.pallas_rank import streaming_masked_topk
+                from bsarec_tpu.ops.pallas_rank import (
+                    seen_ids_to_bitmask,
+                    streaming_masked_topk,
+                )
 
+                seen_batch = seen[safe]
+                if seen_format == "ids":
+                    seen_batch = seen_ids_to_bitmask(seen_batch, item_size)
                 _, topk_idx = streaming_masked_topk(
-                    state, table, seen[safe], k=20, n_valid=item_size
+                    state, table, seen_batch, k=20, n_valid=item_size
                 )
             elif impl == "sharded_streaming":
                 from bsarec_tpu.parallel.logits import sharded_streaming_topk

@@ -178,6 +178,20 @@ class Trainer:
                 unroll=unroll,
                 remat=train_cfg.remat,
             )
+        from bsarec_tpu.ops.pallas_rank import (
+            SEEN_BITMASK_STAGE_LIMIT,
+            TILE_COLS,
+        )
+
+        # streaming eval stages one [U, Vp/32] bitmask per split; above
+        # the limit keep the tiny [U, S] id lists resident and build
+        # each batch's bitmask on device instead (1M items x 50k users
+        # would stage 2 x 6.25 GB and OOM the chip)
+        vp_words = -(-model_cfg.item_size // TILE_COLS) * TILE_COLS // 32
+        staged_bytes = 2 * data.valid.num_users * vp_words * 4
+        self._seen_format = (
+            "ids" if staged_bytes > SEEN_BITMASK_STAGE_LIMIT else "bitmask"
+        )
         self._eval_fn, _, self.eval_impl = build_eval_fn(
             self.model,
             model_cfg.item_size,
@@ -186,12 +200,23 @@ class Trainer:
             impl=train_cfg.eval_impl,
             mesh=self.mesh,
             dtype=model_cfg.compute_dtype,
+            seen_format=self._seen_format,
         )
 
         self._eval_dev = {}
         for split_name in ("valid", "test"):
             split = getattr(data, split_name)
-            if self.eval_impl == "streaming":
+            if self.eval_impl == "streaming" and self._seen_format == "ids":
+                from bsarec_tpu.ops.pallas_rank import dedupe_seen_rows
+
+                seen = dedupe_seen_rows(split.seen_items)
+                if split_name == "valid":
+                    logger.info(
+                        f"eval seen masks: on-device per-batch bitmasks "
+                        f"(staging both splits would take "
+                        f"{staged_bytes >> 20} MiB)"
+                    )
+            elif self.eval_impl == "streaming":
                 from bsarec_tpu.ops.pallas_rank import build_seen_bitmask
 
                 seen = build_seen_bitmask(split.seen_items, model_cfg.item_size)
@@ -334,6 +359,7 @@ class Trainer:
             mesh=self.mesh,
             dtype=self.model_cfg.compute_dtype,
             collect_topk=True,
+            seen_format=self._seen_format,
         )
         dev = self._eval_dev[split]
         return np.asarray(fn(self.params, dev["inputs"], dev["answers"], dev["seen"]))

@@ -65,6 +65,27 @@ def test_seen_bitmask():
     assert u[1, 128 + 1] == 1 << 0  # item 4097 -> tile 1, word 128+1, bit 0
 
 
+def test_seen_ids_to_bitmask_matches_host_builder():
+    """Device per-batch builder (huge-catalog eval path) reproduces the
+    host bitmask bit-for-bit: duplicates, padding rows, empty rows,
+    multi-tile ids, and a non-tile-aligned vocab tail."""
+    from bsarec_tpu.ops.pallas_rank import dedupe_seen_rows, seen_ids_to_bitmask
+
+    rng = np.random.default_rng(0)
+    v = 5000  # 2 tiles with a padded tail
+    ids = rng.integers(0, v, size=(7, 33)).astype(np.int32)
+    ids[:, -5:] = 0
+    ids[2] = 0  # user with no history
+    ids[3, :4] = [7, 7, 7, 4097]  # duplicates + second tile
+    deduped = dedupe_seen_rows(ids)
+    # dedupe keeps the id set (minus repeats) and only ever zeroes slots
+    for r in range(ids.shape[0]):
+        assert set(deduped[r]) - {0} == set(ids[r]) - {0}
+    host = build_seen_bitmask(ids, v)
+    dev = np.asarray(seen_ids_to_bitmask(jnp.asarray(deduped), v))
+    np.testing.assert_array_equal(dev, host)
+
+
 @pytest.mark.parametrize("b,v,h,n_valid,k", [(8, 512, 32, 512, 20), (10, 700, 64, 690, 5)])
 def test_streaming_topk_matches_dense(b, v, h, n_valid, k):
     rng = np.random.default_rng(2)
