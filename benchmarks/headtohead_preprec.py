@@ -96,6 +96,71 @@ def run_reference(workdir: str, argv: list[str], logdir: str | None = None) -> d
     return out
 
 
+# The mounted reference's mostpop CLI leg cannot execute AT ALL: in the
+# per-user eval loop `loc = int(userpop[u] // args.quality_size)`
+# (repo-b/utils.py:433) reads `userpop`, a local only assigned under
+# `--eval_quality` (utils.py:330) — UnboundLocalError without the flag;
+# WITH the flag the final normalization reads `locs` (utils.py:451),
+# a local only assigned in the newrec-family branch (utils.py:360) —
+# UnboundLocalError again. (Both are dead-assignment oversights: `loc`
+# itself is unused when eval_quality is off.) Python resolves both names
+# as function locals at compile time, so no injection can unbreak the
+# shipped main.py path. The head-to-head therefore executes the
+# reference's actual SCORING code — `data.data_partition` +
+# `utils.predict_mostpop` (utils.py:858-883), unmodified, in-process
+# from the mount — and applies the reference's own eval_method-1
+# aggregation (utils.py:436-447,455: NDCG += 1/log2(rank+2), HR += 1
+# for rank<k, /= valid_user, round 3) outside the broken loop.
+_MOSTPOP_DRIVER = """
+import pickle, sys
+import numpy as np
+sys.path.insert(0, {ref!r})
+from argparse import Namespace
+from data import data_partition
+from utils import predict_mostpop
+
+maxlen, topk, seed = int(sys.argv[1]), 10, 2023  # parse.py:42 default seed
+np.random.seed(seed)  # main.py:39 (tie-break stream in predict_mostpop)
+train, valid, test, usernum, itemnum = data_partition("synthB", maxlen)
+misc = np.loadtxt("./datasynthB_rawpop.txt")  # utils.py:352-353 quirk path
+with open("./data/synthB_userneg.pickle", "rb") as fh:
+    negs = pickle.load(fh)
+args = Namespace(eval_method=1, topk=[topk])
+ndcg = hr = n = 0
+for u in range(1, usernum + 1):
+    rank = predict_mostpop(
+        None,
+        [test[0][u], test[1][u], test[2][u]],
+        [train[0][u], train[1][u], train[2][u]],
+        [valid[0][u], valid[1][u], valid[2][u]],
+        [test[0][u], test[1][u], test[2][u]],
+        itemnum, args, "test", negs[u], misc)
+    n += 1
+    if rank < topk:
+        ndcg += 1.0 / np.log2(rank + 2)
+        hr += 1
+print(f"(NDCG@{{topk}}: {{round(ndcg / n, 3)}}, HR@{{topk}}: {{round(hr / n, 3)}})")
+"""
+
+
+def run_reference_mostpop(workdir: str, maxlen: int = 12) -> dict:
+    """Reference mostpop via its own predict_mostpop (see note above)."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REF + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-c", _MOSTPOP_DRIVER.format(ref=REF), str(maxlen)],
+        cwd=workdir, env=env, capture_output=True, text=True, timeout=1800,
+    )
+    sys.stderr.write(proc.stderr[-2000:])
+    print(proc.stdout[-2000:])
+    if proc.returncode != 0:
+        raise RuntimeError(f"reference mostpop failed rc={proc.returncode}")
+    out = {}
+    for k, ndcg, hr in _REF_METRIC.findall(proc.stdout):
+        out[f"NDCG@{k}"], out[f"HR@{k}"] = float(ndcg), float(hr)
+    return out
+
+
 def run_ours(workdir: str, argv: list[str]) -> dict:
     """Drive bsarec_tpu.preprec.main in-process; returns HR/NDCG@10."""
     from bsarec_tpu.preprec.main import main as cli
@@ -148,8 +213,7 @@ def main():
     quirk = os.path.join(args.workdir, "datasynthB_rawpop.txt")
     if not os.path.lexists(quirk):
         os.symlink(os.path.join("data", "synthB_rawpop.txt"), quirk)
-    ref_pop = run_reference(args.workdir, [
-        "--dataset", "synthB", "--model", "mostpop", *COMMON])
+    ref_pop = run_reference_mostpop(args.workdir)
     rows["reference"] = {"train_A": ref_train, "zero_shot_A_to_B": ref_zs,
                          "mostpop_B": ref_pop}
 
@@ -177,7 +241,13 @@ def main():
             f"(`benchmarks/preprec_demo.py:synth_domain`), {args.epochs} "
             "epochs, eval_method 1 (50 sampled negatives). Reference "
             "executed from the read-only mount (`repo-b/main.py`); both "
-            "programs read the SAME preprocessed files.\n\n"
+            "programs read the SAME preprocessed files. The reference's "
+            "mostpop CLI leg is unexecutable as shipped (UnboundLocalError "
+            "either way: `userpop` utils.py:433 without --eval_quality, "
+            "`locs` utils.py:451 with it), so that row executes the "
+            "reference's own `predict_mostpop` (utils.py:858-883) "
+            "in-process with its eval_method-1 aggregation applied "
+            "outside the broken loop.\n\n"
             "| stage | reference NDCG@10 | ours NDCG@10 | reference HR@10 | ours HR@10 |\n"
             "|---|---|---|---|---|\n")
         for stage in ("train_A", "zero_shot_A_to_B", "mostpop_B"):
