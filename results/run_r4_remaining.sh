@@ -55,7 +55,9 @@ if ! grep -q scorer_int8 $OUT/serving_tpu_load.log 2>/dev/null; then
     --c 3 --alpha 0.9 --do_eval --load_model verify_run --train_name verify_exp8 \
     --output_dir /tmp/verify_out/ --export_serving /tmp/verify_out/scorer_int8.jaxexp \
     --serving_quant int8 2>&1 | tail -2
-  timeout 900 python - 2>&1 | tee $OUT/serving_tpu_load.log <<'PYEOF'
+  # heredoc must bind to python, not tee (first run got this wrong and
+  # tee'd the script text into the log without executing it)
+  timeout 900 python - <<'PYEOF' 2>&1 | tee $OUT/serving_tpu_load.log
 import numpy as np
 from bsarec_tpu.serving import load_scorer
 for p in ("/tmp/verify_out/scorer.jaxexp", "/tmp/verify_out/scorer_int8.jaxexp"):
