@@ -62,6 +62,9 @@ def main() -> None:
     parser.add_argument("--lever", default="unroll",
                         choices=("unroll", "dropout", "component"))
     parser.add_argument("--unrolls", default="2,4,8")
+    parser.add_argument(
+        "--strategies", default="threshold,pallas,u8,u8direct,bernoulli,bits",
+        help="dropout lever only: comma list of mask strategies to time")
     args = parser.parse_args()
 
     import jax
@@ -97,7 +100,7 @@ def main() -> None:
     else:
         # strategy is read at trace time, so flipping the env var between
         # points retraces with the new mask construction
-        for strat in ("threshold", "u8", "bernoulli", "bits"):
+        for strat in args.strategies.split(","):
             os.environ["BSAREC_DROPOUT"] = strat
             results[strat] = round(run_point(data, 8), 1)
             print(strat, results[strat], flush=True)

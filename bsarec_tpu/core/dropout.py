@@ -39,7 +39,11 @@ import jax.numpy as jnp
 # but still slower than threshold, 248.3k: the bitcast relayout +
 # sub-word compare cost more than the saved RNG words; drop rate
 # quantized to the nearest 1/256, exact at the reference's p=0.5),
-# "bernoulli" (stock uniform-float path, 220.9k), "iota" (DIAGNOSTIC
+# "bernoulli" (stock uniform-float path, 220.9k), "pallas" (fused
+# kernel: bits generated INSIDE the apply pass via the in-kernel
+# hardware PRNG, so the mask array never touches HBM —
+# ops/pallas_dropout.py; TPU-only, falls back to threshold elsewhere),
+# "iota" (DIAGNOSTIC
 # ONLY: a deterministic
 # alternating keep pattern from broadcasted_iota — zero RNG cost but
 # the full mask-apply cost, so paired sweeps can split the no-dropout
@@ -98,10 +102,31 @@ def fast_dropout(rng, rate: float, x: jnp.ndarray) -> jnp.ndarray:
         keep = _keep_mask_bits(rng, x.shape)
     elif strategy == "u8":
         keep = _keep_mask_u8(rng, rate, x.shape)
+    elif strategy == "u8direct":
+        # ask the generator for uint8 words directly: if XLA's
+        # RngBitGenerator emits u8 natively this is 4x less mask-gen
+        # HBM traffic with zero unpack/relayout work (quantized to the
+        # nearest 1/256 like "u8"; exact at the reference's p=0.5)
+        t8 = jnp.uint8(min(round(rate * 256), 255))
+        keep = jax.random.bits(rng, x.shape, jnp.uint8) >= t8
     elif strategy == "iota":  # diagnostic: RNG-free mask, real apply
         dim = max(len(x.shape) - 1, 0)
         idx = jax.lax.broadcasted_iota(jnp.uint32, x.shape or (1,), dim)
         keep = ((idx & 1) == 0).reshape(x.shape)
+    elif strategy == "pallas":
+        # fused kernel: bits generated INSIDE the apply pass, so the
+        # mask array never touches HBM (ops/pallas_dropout.py); falls
+        # back to the threshold path off-TPU or on unsupported shapes
+        from bsarec_tpu.ops.pallas_dropout import (
+            pallas_dropout,
+            seed_from_key,
+            supported,
+        )
+
+        if jax.default_backend() == "tpu" and supported(x.shape, x.dtype):
+            return pallas_dropout(rate, x, seed_from_key(rng))
+        t = jnp.uint32(min(int(rate * (1 << 32)), (1 << 32) - 1))
+        keep = jax.random.bits(rng, x.shape, jnp.uint32) >= t
     else:
         t = jnp.uint32(min(int(rate * (1 << 32)), (1 << 32) - 1))
         keep = jax.random.bits(rng, x.shape, jnp.uint32) >= t

@@ -212,3 +212,71 @@ def test_fast_dropout_scalar_input_all_strategies(monkeypatch):
         y = fast_dropout(jax.random.PRNGKey(0), 0.5, jnp.float32(3.0))
         assert y.shape == ()
         assert float(y) in (0.0, 6.0), (strategy, float(y))
+
+
+def test_fast_dropout_pallas_strategy_fallback(monkeypatch):
+    """BSAREC_DROPOUT=pallas off-TPU: must fall back to the threshold
+    construction with correct semantics (the fused kernel itself is
+    TPU-only — Mosaic PRNG has no CPU lowering; on-chip validation:
+    results/r4_runs/pallas_dropout_validate.log)."""
+    import jax
+
+    from bsarec_tpu.core.dropout import fast_dropout
+
+    monkeypatch.setenv("BSAREC_DROPOUT", "pallas")
+    x = jnp.ones((64, 16, 8))  # 8192 elems: WOULD take the fused path on TPU
+    y = np.asarray(fast_dropout(jax.random.PRNGKey(3), 0.5, x))
+    np.testing.assert_allclose(y[y != 0], 2.0, rtol=1e-6)
+    assert abs((y == 0).mean() - 0.5) < 0.03
+    # odd-size input: unsupported by the kernel everywhere -> threshold
+    y = np.asarray(fast_dropout(jax.random.PRNGKey(3), 0.2, jnp.ones((64, 97))))
+    np.testing.assert_allclose(y[y != 0], 1.25, rtol=1e-6)
+    assert abs((y == 0).mean() - 0.2) < 0.03
+
+
+def test_pallas_dropout_support_gating():
+    """supported(): full-lane flat views with a whole-block partition
+    only — everything else must route to the XLA fallback."""
+    from bsarec_tpu.ops.pallas_dropout import _block_rows, supported
+
+    assert supported((256, 50, 64), jnp.float32) == 6400
+    assert supported((256, 1, 50, 50), jnp.bfloat16) == 5000
+    assert supported((64, 97), jnp.float32) == 0  # not lane-divisible
+    assert supported((16, 8), jnp.float32) == 0  # 128 elems = 1 row < min block
+    assert supported((256, 50, 64), jnp.int32) == 0  # non-float dtype
+    assert _block_rows(6400) == 800 and 5000 % _block_rows(5000) == 0
+
+
+def test_pallas_dropout_seed_from_key():
+    """seed_from_key: deterministic per key, distinct across keys, and
+    well-defined for both 2-word threefry and 4-word rbg key data."""
+    import jax
+
+    from bsarec_tpu.ops.pallas_dropout import seed_from_key
+
+    k = jax.random.PRNGKey(42)
+    s1, s2 = seed_from_key(k), seed_from_key(k)
+    assert s1.shape == (2,) and s1.dtype == jnp.int32
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    other = seed_from_key(jax.random.PRNGKey(43))
+    assert not np.array_equal(np.asarray(s1), np.asarray(other))
+    folded = seed_from_key(jax.random.split(k, 2)[0])
+    assert folded.shape == (2,)
+
+
+def test_fast_dropout_u8direct_strategy(monkeypatch):
+    """BSAREC_DROPOUT=u8direct: uint8 words straight from the
+    generator — quantized to the nearest 1/256 (exact at p=0.5),
+    correct scale, no lane correlation."""
+    import jax
+
+    from bsarec_tpu.core.dropout import fast_dropout
+
+    monkeypatch.setenv("BSAREC_DROPOUT", "u8direct")
+    for rate, scale in ((0.5, 2.0), (0.2, 1.25)):
+        y = np.asarray(fast_dropout(jax.random.PRNGKey(5), rate, jnp.ones((512, 128))))
+        np.testing.assert_allclose(y[y != 0], scale, rtol=1e-6)
+        assert abs((y == 0).mean() - round(rate * 256) / 256) < 0.02, rate
+        flat = (y == 0).astype(np.int64)
+        a, b = flat[:, :-1].ravel(), flat[:, 1:].ravel()
+        assert abs(np.corrcoef(a, b)[0, 1]) < 0.03
