@@ -1,12 +1,23 @@
-"""Serving-path catalog ranking benchmark: fp32 vs bf16 vs int8.
+"""Serving-path catalog ranking benchmark: dense vs chunked, fp32 vs
+bf16 vs int8, plus a stage decomposition of the dense path.
 
-Times the dense serving ranking (`bsarec_tpu/serving.py` semantics:
-state x table logits -> seen-mask -> top-20) at catalog scale in the
-three matmul precisions the exported scorer supports. The encoder
+Times the serving ranking (`bsarec_tpu/serving.py` semantics: state x
+table logits -> seen-mask -> top-20) at catalog scale. The encoder
 forward is excluded on purpose: at serving batch sizes the [b, h] x
-[V, h] catalog product dominates, and it is the part `--serving_quant`
-changes. The reference has no serving path to compare against
-(host-side numpy eval, `src/trainers.py:142-149`).
+[V, h] catalog product plus the [b, V] slab handling dominates, and
+those are the parts `--serving_quant` / `--serving_impl` change. The
+reference has no serving path to compare against (host-side numpy
+eval, `src/trainers.py:142-149`).
+
+Variant families:
+  f32 / bf16 / int8             dense: full [b, V] logits slab + top_k
+  *_chunked                     `chunked_masked_topk`: per-chunk top-k
+                                over --item_chunk blocks + final merge
+  stage_matmul / stage_mask /   dense path truncated after each stage
+  stage_topk                    (deltas attribute the dense cost; the
+                                matmul/mask rows end in a max-reduce to
+                                stay data-dependent, so each delta is
+                                stage-cost minus one [b,V] read)
 
 Timing methodology: chained data-dependent iterations inside one jit
 with forced host readback, regressed over two chain lengths — see
@@ -16,7 +27,8 @@ nonlinearly so XLA cannot collapse the chain.
 
 Usage:
     python benchmarks/serving_bench.py [--items 1000000] [--hidden 64]
-        [--batch 256] [--variants f32,bf16,int8]
+        [--batch 256] [--item_chunk 65536]
+        [--variants f32,bf16,int8,f32_chunked,bf16_chunked,int8_chunked,stages]
 
 Prints one JSON line per variant.
 """
@@ -36,16 +48,20 @@ import jax
 import jax.numpy as jnp
 
 from bsarec_tpu.ops.topk import masked_topk
-from bsarec_tpu.serving import int8_logits_prequant, quantize_rows
+from bsarec_tpu.serving import (
+    chunked_masked_topk,
+    int8_logits_prequant,
+    quantize_rows,
+)
 
 
-def make_chain(score, k_iters):
+def make_chain(rank, k_iters):
     """k chained rank iterations; the winner's score perturbs the next
     state nonlinearly (no CSE), only top-k values/ids leave the loop."""
 
-    def run(state, *score_args):
+    def run(state):
         def body(s, _):
-            vals, idx = masked_topk(score(s, *score_args), seen)
+            vals, idx = rank(s)
             s = s + 1e-4 * jnp.tanh(vals[:, :1])
             return s, (vals[:, 0], idx[:, 0])
         final, (v, i) = jax.lax.scan(body, state, None, length=k_iters)
@@ -54,13 +70,13 @@ def make_chain(score, k_iters):
     return run
 
 
-def chain_ms(score, state, score_args, ks=(2, 12)):
+def chain_ms(rank, state, ks=(2, 12)):
     ts = []
     for k in ks:
-        f = jax.jit(make_chain(score, k))
-        float(f(state, *score_args))  # compile + warm
+        f = jax.jit(make_chain(rank, k))
+        float(f(state))  # compile + warm
         t0 = time.time()
-        float(f(state, *score_args))
+        float(f(state))
         ts.append(time.time() - t0)
     return (ts[1] - ts[0]) / (ks[1] - ks[0]) * 1e3
 
@@ -76,11 +92,13 @@ def main():
     ap.add_argument("--hidden", type=int, default=64)
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--seen", type=int, default=50)
-    ap.add_argument("--variants", default="f32,bf16,int8")
+    ap.add_argument("--item_chunk", type=int, default=65536)
+    ap.add_argument(
+        "--variants",
+        default="f32,bf16,int8,f32_chunked,bf16_chunked,int8_chunked,stages")
     args = ap.parse_args()
 
-    B, V, H = args.batch, args.items, args.hidden
-    global seen  # read inside make_chain's body
+    B, V, H, IC = args.batch, args.items, args.hidden, args.item_chunk
     kt, ks_, kn = jax.random.split(jax.random.PRNGKey(0), 3)
     # generated on device: a 10M x 256 host array would be 10 GB + tunnel
     table = jax.jit(lambda k: jax.random.normal(k, (V, H), jnp.float32))(kt)
@@ -88,32 +106,68 @@ def main():
     seen = jax.jit(
         lambda k: jax.random.randint(k, (B, args.seen), 0, V, jnp.int32)
     )(kn)
+    tb = table.astype(jnp.bfloat16)
+    q_table, t_scale = jax.jit(quantize_rows)(table)
+    batch_ix = jnp.arange(B)[:, None]
+
+    def dense_rank(score, *score_args):
+        return lambda s: masked_topk(score(s, *score_args), seen)
+
+    def f32_mm(s, t):
+        return jnp.einsum("bh,vh->bv", s, t, preferred_element_type=jnp.float32)
+
+    def bf16_mm(s, t):
+        return jnp.einsum("bh,vh->bv", s.astype(jnp.bfloat16), t,
+                          preferred_element_type=jnp.float32)
 
     variants = {}
-    if "f32" in args.variants:
-        variants["f32"] = (
-            lambda s, t: jnp.einsum("bh,vh->bv", s, t,
-                                    preferred_element_type=jnp.float32),
-            (table,),
-        )
-    if "bf16" in args.variants:
-        tb = table.astype(jnp.bfloat16)
-        variants["bf16"] = (
-            lambda s, t: jnp.einsum("bh,vh->bv", s.astype(jnp.bfloat16), t,
-                                    preferred_element_type=jnp.float32),
-            (tb,),
-        )
-    if "int8" in args.variants:
-        q_table, t_scale = jax.jit(quantize_rows)(table)
-        variants["int8"] = (int8_logits_prequant, (q_table, t_scale))
+    want = set(args.variants.split(","))
+    if "f32" in want:
+        variants["f32"] = dense_rank(f32_mm, table)
+    if "bf16" in want:
+        variants["bf16"] = dense_rank(bf16_mm, tb)
+    if "int8" in want:
+        variants["int8"] = dense_rank(int8_logits_prequant, q_table, t_scale)
+    if "f32_chunked" in want:
+        variants["f32_chunked"] = lambda s: chunked_masked_topk(
+            s, (table,), lambda st, t: f32_mm(st, t), seen, V, item_chunk=IC)
+    if "bf16_chunked" in want:
+        variants["bf16_chunked"] = lambda s: chunked_masked_topk(
+            s, (tb,), lambda st, t: bf16_mm(st, t), seen, V, item_chunk=IC)
+    if "int8_chunked" in want:
+        def int8_lf(pack, qt, ts):
+            qs, ss = pack
+            acc = jax.lax.dot_general(
+                qs, qt, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            return acc.astype(jnp.float32) * ss[:, None] * ts[None, :]
 
-    for name, (score, score_args) in variants.items():
-        ms = chain_ms(score, state, score_args)
+        variants["int8_chunked"] = lambda s: chunked_masked_topk(
+            quantize_rows(s), (q_table, t_scale), int8_lf, seen, V,
+            item_chunk=IC)
+    if "stages" in want:
+        def stage(kind):
+            def rank(s):
+                logits = f32_mm(s, table)
+                if kind != "matmul":
+                    logits = logits.at[batch_ix, seen].set(0.0)
+                if kind == "topk":
+                    return jax.lax.top_k(logits, 20)
+                v = jnp.max(logits, axis=1, keepdims=True)
+                return v, jnp.zeros((B, 1), jnp.int32)
+            return rank
+
+        for kind in ("matmul", "mask", "topk"):
+            variants[f"stage_{kind}"] = stage(kind)
+
+    for name, rank in variants.items():
+        ms = chain_ms(rank, state)
         print(json.dumps({
             "metric": f"serving_rank_{name}", "value": round(ms, 3),
             "unit": "ms/iter", "items": V, "hidden": H, "batch": B,
+            "item_chunk": IC if "chunked" in name else None,
             "users_per_sec": round(B / ms * 1e3) if ms > 0 else None,
-        }))
+        }), flush=True)
 
 
 if __name__ == "__main__":

@@ -24,11 +24,13 @@ bit-parity contract, only distribution.)
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # rbg-path mask construction, on-chip paired sweep at the bench config
 # (v5e, results/r3_runs/sweep_dropout_onchip.log): "threshold" (integer
@@ -58,6 +60,60 @@ def _rbg_active() -> bool:
         return jax.config.jax_default_prng_impl == "rbg"
     except AttributeError:  # pragma: no cover
         return False
+
+
+# ---- pooled strategy: ONE RngBitGenerator call per step ----------------
+# (VERDICT r4 item 5.) Under BSAREC_DROPOUT=pooled the train-step loss
+# wrapper (train/loop.py) first counts every dropout site's word demand
+# with a jax.eval_shape pass, then issues a single jax.random.bits call
+# for the sum and re-traces with the pool active; each FastDropout site
+# consumes a STATIC slice. Same Bernoulli law and HBM traffic as
+# "threshold", 1 RngBitGenerator dispatch instead of 8 — this isolates
+# and amortizes per-call RNG overhead (measured in
+# benchmarks/rbg_pool_probe.py).
+
+_POOL_STATE: list = []  # active _BitPool stack (trace-time only)
+
+
+class _BitPool:
+    """words=None counts demand; otherwise serves static slices."""
+
+    __slots__ = ("words", "offset")
+
+    def __init__(self, words):
+        self.words, self.offset = words, 0
+
+    def take(self, shape):
+        n = int(np.prod(shape)) if shape else 1
+        if self.words is not None and self.offset + n > self.words.shape[0]:
+            raise ValueError(
+                f"dropout bit pool exhausted at offset {self.offset}+{n} "
+                f"> {self.words.shape[0]} (counting/real trace mismatch)"
+            )
+        out = (
+            None if self.words is None
+            else jax.lax.slice_in_dim(self.words, self.offset, self.offset + n)
+        )
+        self.offset += n
+        return out
+
+
+@contextlib.contextmanager
+def dropout_bit_pool(words):
+    """Trace-time scope: pooled-strategy FastDropout sites consume
+    slices of `words` ([N] uint32). words=None = demand-counting pass
+    (pair with jax.eval_shape; read `.offset` after)."""
+    pool = _BitPool(words)
+    _POOL_STATE.append(pool)
+    try:
+        yield pool
+    finally:
+        _POOL_STATE.pop()
+
+
+def pool_enabled() -> bool:
+    """True when the train step should run the count+pool wrapper."""
+    return _strategy() == "pooled" and _rbg_active()
 
 
 def _keep_mask_bits(rng, shape) -> jnp.ndarray:
@@ -102,6 +158,13 @@ def fast_dropout(rng, rate: float, x: jnp.ndarray) -> jnp.ndarray:
         keep = _keep_mask_bits(rng, x.shape)
     elif strategy == "u8":
         keep = _keep_mask_u8(rng, rate, x.shape)
+    elif strategy == "pooled" and _POOL_STATE:
+        words = _POOL_STATE[-1].take(x.shape)
+        if words is None:  # counting pass under jax.eval_shape
+            keep = jnp.zeros(x.shape, jnp.bool_)
+        else:
+            t = jnp.uint32(min(int(rate * (1 << 32)), (1 << 32) - 1))
+            keep = (words >= t).reshape(x.shape)
     elif strategy == "u8direct":
         # ask the generator for uint8 words directly: if XLA's
         # RngBitGenerator emits u8 natively this is 4x less mask-gen

@@ -61,6 +61,14 @@ def parse_args(argv=None):
         help="with --export_serving: quantize the catalog matmul to "
         "symmetric per-row int8 (int8 MXU path, 2x bf16 peak on v5e)",
     )
+    parser.add_argument(
+        "--serving_impl", default="dense", choices=["dense", "chunked"],
+        help="with --export_serving: 'chunked' streams the catalog in "
+        "--serving_item_chunk blocks (per-chunk top-k + merge) — same "
+        "ranking, O(b*chunk) peak memory instead of the [b, V] logits "
+        "slab; the right choice for million-item catalogs",
+    )
+    parser.add_argument("--serving_item_chunk", default=65536, type=int)
     parser.add_argument("--train_name", default=get_local_time(), type=str)
     parser.add_argument(
         "--profile", default=None, type=str,
@@ -261,6 +269,7 @@ def main(argv=None):
             args.max_seq_length, data.test.seen_items.shape[1],
             args.export_serving, dtype=model_cfg.compute_dtype,
             quant=None if args.serving_quant == "none" else args.serving_quant,
+            impl=args.serving_impl, item_chunk=args.serving_item_chunk,
         )
         logger.info(f"exported serving scorer: {meta}")
 

@@ -72,9 +72,12 @@ class PrepRecTrainConfig:
     seed: int = 2023
     fs_prop: float = 1.0  # few-shot fraction of batches
     fs_num_epochs: int = 80  # epochs for --fs_transfer (repo-b/main.py:173-174)
-    # eval scoring batch; 0 = auto (64 sampled-negatives / 8 full-catalog
-    # — the full-catalog path holds [batch, itemnum] score tiles)
+    # eval scoring batch; 0 = auto (64 sampled-negatives / 32 full-catalog
+    # — the full-catalog path streams [batch, eval_item_chunk] tiles)
     eval_batch_size: int = 0
+    # full-catalog sweep chunk: peak eval footprint is
+    # O(eval_batch * eval_item_chunk * feature_dim), catalog-size-free
+    eval_item_chunk: int = 4096
     l2_emb: float = 0.0  # SASRec item-emb L2 (repo-b/train_test.py:58-59)
     first_eval: bool = False  # eval before epoch 1 (repo-b/train_test.py:29-33)
     train_only: bool = False  # skip final test (repo-b/train_test.py:284)

@@ -1,17 +1,26 @@
-"""PREPRec ranked evaluation, on device.
+"""PREPRec ranked evaluation, on device, memory-bounded.
 
 Reference behavior (`repo-b/utils.py:314-620`): per user the ground
 truth competes against 100 pre-sampled negatives (eval_method=1) or
-the full catalog (=3); the ground-truth's rank uses random tie-
-breaking; NDCG@k = 1/log2(rank+2) if rank<k, HR@k = rank<k; reported
-as [[ndcg, hr] per k]. For "test" mode the validation item is appended
-to the history (unless no_valid_in_test/sparse). Candidate popularity
-times are the target interaction's own (lag-shifted) times, or the
-last history time when prev_time.
+the full catalog (=3, candidates = [gt] + arange(1..V) — the ground
+truth appears twice, `utils.py:502-509`); the ground-truth's rank uses
+random tie-breaking; NDCG@k = 1/log2(rank+2) if rank<k, HR@k = rank<k;
+reported as [[ndcg, hr] per k]. For "test" mode the validation item is
+appended to the history (unless no_valid_in_test/sparse). Candidate
+popularity times are the target interaction's own (lag-shifted) times,
+or the last history time when prev_time — constant across candidates
+either way (`utils.py:512-518`), so they are stored as per-user
+COLUMNS here, not [U, C] tiles.
 
-The reference chunks users×items on host to fit GPU memory
-(`utils.py:492-545`); here scoring, tie-broken ranking and metric
-sums run inside one jitted scan over user batches.
+The reference chunks users x items on host to fit GPU memory
+(`utils.py:492-545`: `len(users)*itemnum/7e8` partitions, user blocks
+of 125, item blocks of 101). Here full-catalog candidates are IMPLICIT
+(one arange sweep shared by every user) and the ground-truth rank is
+accumulated streaming over item chunks inside one jitted scan: nothing
+of size [U, V] is ever materialized on host or device, so eval_method 3
+runs at production catalog scale. Every model factors its `predict`
+into final-state [B, H] x candidate-embedding [B, C, H]; chunking that
+per-candidate dot product is bit-exact vs the monolithic einsum.
 """
 
 from __future__ import annotations
@@ -29,16 +38,27 @@ from bsarec_tpu.preprec.data import PrepRecDataset
 
 @dataclasses.dataclass
 class EvalInputs:
-    """Host-built fixed-shape eval arrays for one mode (valid/test)."""
+    """Host-built fixed-shape eval arrays for one mode (valid/test).
+
+    `cands` is the explicit [U, C] candidate matrix (column 0 = ground
+    truth) for sampled-negative eval; None means implicit full-catalog
+    candidates ([target] + arange(1..itemnum), never materialized).
+    """
 
     seqs: np.ndarray  # [U, maxlen]
     t1: np.ndarray  # [U, maxlen] (lag-shifted)
     t2: np.ndarray
     te: np.ndarray  # [U, maxlen]
-    cands: np.ndarray  # [U, C] candidate items, col 0 = ground truth
-    cand_t1: np.ndarray  # [U, C]
-    cand_t2: np.ndarray
+    target: np.ndarray  # [U] ground-truth item (candidate column 0)
+    cands: np.ndarray | None  # [U, C] explicit candidates, or None
+    cand_t1: np.ndarray  # [U] candidate t1 (constant across candidates)
+    cand_t2: np.ndarray  # [U]
     users: np.ndarray  # [U] 1-based
+    itemnum: int
+
+    @property
+    def num_cands(self) -> int:
+        return self.cands.shape[1] if self.cands is not None else self.itemnum + 1
 
 
 def build_eval_inputs(ds: PrepRecDataset, cfg: PrepRecConfig, mode: str, usernegs: np.ndarray | None) -> EvalInputs:
@@ -57,10 +77,11 @@ def build_eval_inputs(ds: PrepRecDataset, cfg: PrepRecConfig, mode: str, userneg
     seqs, t1, t2 = seqs[:, -maxlen:], t1[:, -maxlen:], t2[:, -maxlen:]
 
     if cfg.eval_method == 3 or usernegs is None:
-        cands = np.tile(np.arange(1, ds.itemnum + 1, dtype=np.int32), (ds.usernum, 1))
-        cands = np.concatenate([target[:, None].astype(np.int32), cands], axis=1)
+        cands = None  # implicit [gt] + arange(1..V) sweep
     else:
-        cands = np.concatenate([target[:, None].astype(np.int32), usernegs], axis=1)
+        cands = np.concatenate(
+            [target[:, None].astype(np.int32), usernegs.astype(np.int32)], axis=1
+        )
 
     # lag shift (utils.py:509; model applies none at predict time)
     lag_t1 = np.maximum(0, t1 - 1 - cfg.lag // 4)
@@ -68,17 +89,15 @@ def build_eval_inputs(ds: PrepRecDataset, cfg: PrepRecConfig, mode: str, userneg
     it1 = np.maximum(0, tgt_t1 - 1 - cfg.lag // 4)
     it2 = np.maximum(0, tgt_t2 - cfg.lag)
     if cfg.prev_time:
-        cand_t1 = np.repeat(lag_t1[:, -1:], cands.shape[1], axis=1)
-        cand_t2 = np.repeat(lag_t2[:, -1:], cands.shape[1], axis=1)
+        cand_t1, cand_t2 = lag_t1[:, -1], lag_t2[:, -1]
     else:
-        cand_t1 = np.repeat(it1[:, None], cands.shape[1], axis=1)
-        cand_t2 = np.repeat(it2[:, None], cands.shape[1], axis=1)
+        cand_t1, cand_t2 = it1, it2
 
     return EvalInputs(
         seqs.astype(np.int32), lag_t1.astype(np.int32), lag_t2.astype(np.int32),
-        te.astype(np.int32), cands.astype(np.int32),
+        te.astype(np.int32), target.astype(np.int32), cands,
         cand_t1.astype(np.int32), cand_t2.astype(np.int32),
-        np.arange(1, ds.usernum + 1, dtype=np.int32),
+        np.arange(1, ds.usernum + 1, dtype=np.int32), int(ds.itemnum),
     )
 
 
@@ -141,21 +160,47 @@ def mostpop_ranks(inputs: EvalInputs, rawpop: np.ndarray, rng: np.random.Generat
     """Popularity baseline (`utils.py:858-883`): score candidates by
     their cumulative interaction count. Under full-catalog eval the
     reference excludes each user's already-rated items from the
-    candidate set (`utils.py:867-871`); equivalent here: their scores
-    drop to -inf. The ground truth (column 0) always stays."""
-    pop = np.concatenate([[0.0], rawpop])  # item 0 pad
-    scores = pop[inputs.cands]
-    if exclude_rated:  # full-catalog eval (eval_method 3)
-        # vectorized per-user exclusion: under eval_method 3 candidate
-        # column j (j>=1) IS item j, so a [U, V+1] scatter of the padded
-        # history marks every rated candidate in one shot — no O(U·V)
-        # Python loop over np.isin.
-        itemnum = scores.shape[1] - 1
-        assert inputs.seqs.max() <= itemnum, "exclude_rated requires full-catalog candidates"
-        rated = np.zeros((scores.shape[0], itemnum + 1), dtype=bool)
-        np.put_along_axis(rated, inputs.seqs.astype(np.int64), True, axis=1)
-        scores[:, 1:][rated[:, 1:]] = -np.inf
-    return _tiebroken_ranks(scores, rng)
+    candidate set (`utils.py:867-871`). The full-catalog branch never
+    materializes [U, V]: because every user scores the SAME popularity
+    vector, the rank decomposes into order statistics of the sorted
+    catalog popularity minus per-user rated-item corrections, and the
+    tie group collapses to one Binomial draw (each tied candidate
+    independently beats the ground truth with p = P(u_i > u_gt | u_gt)
+    = 1 - u_gt, exactly the monolithic tie-break's conditional law)."""
+    pop = np.concatenate([[0.0], np.asarray(rawpop, dtype=np.float64)])  # item 0 pad
+    if inputs.cands is not None:
+        scores = pop[inputs.cands]
+        if exclude_rated:
+            raise ValueError(
+                "exclude_rated applies to full-catalog (eval_method 3) "
+                "candidates; sampled negatives are pre-filtered offline"
+            )
+        return _tiebroken_ranks(scores, rng)
+
+    # implicit full catalog: [gt] + arange(1..V), rated items excluded
+    tgt_pop = pop[inputs.target]  # [U]
+    cat = np.sort(pop[1:])  # catalog popularity ascending
+    v = cat.size
+    n_ge = v - np.searchsorted(cat, tgt_pop, side="left")
+    n_gt = v - np.searchsorted(cat, tgt_pop, side="right")
+    # the tie group includes the ground truth's own catalog copy (the
+    # sweep is [gt] + arange(1..V), so gt competes against its duplicate)
+    n_tied = n_ge - n_gt
+
+    if exclude_rated:
+        # subtract each user's rated items from the counts (the
+        # reference removes them from the candidate list entirely,
+        # utils.py:867-871); histories are 0-padded and may repeat
+        for i in range(inputs.seqs.shape[0]):
+            rated = np.unique(inputs.seqs[i])
+            rated = rated[rated > 0]
+            rp = pop[rated]
+            n_gt[i] -= int(np.sum(rp > tgt_pop[i]))
+            n_tied[i] -= int(np.sum(rp == tgt_pop[i]))
+
+    u_gt = rng.random(tgt_pop.shape[0])
+    wins = rng.binomial(np.maximum(n_tied, 0), np.clip(1.0 - u_gt, 0.0, 1.0))
+    return n_gt + wins
 
 
 def ensemble_ranks(scores: np.ndarray, loaded: np.ndarray, alphas, rng: np.random.Generator | None = None) -> list[np.ndarray]:
@@ -177,52 +222,140 @@ def ensemble_ranks(scores: np.ndarray, loaded: np.ndarray, alphas, rng: np.rando
     return [_tiebroken_ranks(b, rng) for b in blends]
 
 
-def make_eval_fn(model, cfg: PrepRecConfig, pop_enc, eval_pop, batch: int, num_users: int, return_scores: bool = False):
+def make_eval_fn(model, cfg: PrepRecConfig, pop_enc, eval_pop, batch: int,
+                 num_users: int, itemnum: int, return_scores: bool = False,
+                 item_chunk: int = 4096):
     """jitted scan over user batches -> ranks [U] (or raw scores [U, C]
-    when return_scores, for --save_scores / --use_scores ensembling)."""
+    when return_scores, for --save_scores / --use_scores ensembling).
+
+    Full-catalog candidates (arrays without a "cands" entry) stream in
+    `item_chunk`-sized id blocks: per user batch the final state is
+    encoded ONCE, then an inner scan accumulates #better and #tied-wins
+    against the ground-truth score — peak footprint O(batch*item_chunk)
+    regardless of catalog size. With return_scores the same sweep emits
+    the [batch, V+1] score rows instead (the OUTPUT is inherently
+    O(U*V); the reference's --save_scores dumps the same, utils.py:546).
+    """
     steps = math.ceil(num_users / batch)
     padded = steps * batch
+    name = cfg.model
+    if cfg.eval_method == 3 and cfg.use_week_eval:
+        # the week-adjusted eval table is indexed by CANDIDATE SLOT of
+        # the offline 101-candidate lists (`model_utils.py:388-481`,
+        # EvalPopularity.__call__ gathers week_eval[:, :C]); applying it
+        # to an arbitrary catalog sweep would silently mis-index
+        raise ValueError(
+            "use_week_eval is slot-indexed against the sampled-negative "
+            "candidate lists and cannot be combined with full-catalog "
+            "eval (eval_method 3)"
+        )
 
-    def score_batch(params, key, seqs, t1, t2, te, cands, ct1, ct2, users):
-        name = cfg.model
+    # --- every model's predict factors as final_state . cand_embed ------
+    def final_state(params, seqs, t1, t2, te, users):
+        """[B, H]; identical math to each model's `predict` prefix."""
         if name == "newrec":
             feats = pop_enc(seqs, t1, t2)
-            if cfg.use_week_eval and eval_pop is not None:
-                cand_feats = eval_pop(cands, ct1, users)
-            else:
-                cand_feats = pop_enc(cands, ct1, ct2)
-            scores = model.apply(
-                {"params": params}, feats, seqs == 0, cand_feats,
-                te if cfg.time_embed else None, method="predict",
+            out = model.apply(
+                {"params": params}, feats, seqs == 0,
+                te if cfg.time_embed else None, method="encode",
             )
-        elif name == "newb4rec":
+            return out[:, -1, :]
+        if name == "newb4rec":
             feats = pop_enc(seqs, t1, t2)
-            cand_feats = pop_enc(cands, ct1, ct2)
-            scores = model.apply(
-                {"params": params}, feats, seqs > 0, cand_feats, method="predict"
+            return model.apply(
+                {"params": params}, feats, seqs > 0, method="encode"
+            )[:, -1, :]
+        if name == "bprmf":
+            return model.apply(
+                {"params": params}, users, method=lambda m, u: m.user_emb(u)
             )
-        elif name == "bprmf":
-            scores = model.apply({"params": params}, users, cands, method="predict")
-        else:  # sasrec / bert4rec / cl4srec
-            scores = model.apply({"params": params}, seqs, cands, method="predict")
-        if return_scores:
-            return scores
-        return ranks_from_scores(scores, key)
+        return model.apply({"params": params}, seqs, method="encode")[:, -1, :]
+
+    def cand_embed(params, cands, ct1, ct2, users):
+        """[B, C, H] candidate-side embeddings (ct* broadcast [B, C])."""
+        if name == "newrec":
+            if cfg.use_week_eval and eval_pop is not None:
+                cf = eval_pop(cands, ct1, users)
+            else:
+                cf = pop_enc(cands, ct1, ct2)
+            return model.apply({"params": params}, cf, method="embed_feats")
+        if name == "newb4rec":
+            cf = pop_enc(cands, ct1, ct2)
+            return model.apply({"params": params}, cf, method="embed_feats")
+        return model.apply(
+            {"params": params}, cands, method=lambda m, c: m.item_emb(c)
+        )
+
+    def score_cands(params, state, cands, ct1_col, ct2_col, users):
+        ct1 = jnp.broadcast_to(ct1_col[:, None], cands.shape)
+        ct2 = jnp.broadcast_to(ct2_col[:, None], cands.shape)
+        emb = cand_embed(params, cands, ct1, ct2, users)
+        return jnp.einsum("bcf,bf->bc", emb, state)
+
+    n_chunks = math.ceil(itemnum / item_chunk)
+
+    def sweep_batch(params, key, state, target, ct1, ct2, users):
+        """Streaming ground-truth rank over the implicit catalog sweep."""
+        tgt_score = score_cands(params, state, target[:, None], ct1, ct2, users)[:, 0]
+        gt_key, chunk_key = jax.random.split(key)
+        # the monolithic tie-break compares every tied candidate's uniform
+        # draw against the ground truth's single draw (utils.py:553-558);
+        # same law here: one gt draw, fresh per-chunk candidate draws
+        u_gt = jax.random.uniform(gt_key, tgt_score.shape)
+
+        def chunk_body(carry, c):
+            n_better, n_tiedwin = carry
+            ids = 1 + c * item_chunk + jnp.arange(item_chunk, dtype=jnp.int32)
+            valid = ids <= itemnum
+            cands = jnp.broadcast_to(ids[None, :], (state.shape[0], item_chunk))
+            s = score_cands(params, state, cands, ct1, ct2, users)
+            u = jax.random.uniform(jax.random.fold_in(chunk_key, c), s.shape)
+            better = valid[None, :] & (s > tgt_score[:, None])
+            tied = valid[None, :] & (s == tgt_score[:, None]) & (u > u_gt[:, None])
+            return (n_better + jnp.sum(better, axis=1),
+                    n_tiedwin + jnp.sum(tied, axis=1)), None
+
+        zero = jnp.zeros(state.shape[0], jnp.int32)
+        (n_better, n_tiedwin), _ = jax.lax.scan(
+            chunk_body, (zero, zero), jnp.arange(n_chunks)
+        )
+        return n_better + n_tiedwin
+
+    def sweep_scores(params, state, target, ct1, ct2, users):
+        """Explicit [B, V+1] score rows from the same chunked sweep."""
+        tgt_score = score_cands(params, state, target[:, None], ct1, ct2, users)
+
+        def chunk_body(_, c):
+            ids = 1 + c * item_chunk + jnp.arange(item_chunk, dtype=jnp.int32)
+            cands = jnp.broadcast_to(ids[None, :], (state.shape[0], item_chunk))
+            return None, score_cands(params, state, cands, ct1, ct2, users)
+
+        _, chunks = jax.lax.scan(chunk_body, None, jnp.arange(n_chunks))
+        swept = jnp.moveaxis(chunks, 0, 1).reshape(state.shape[0], -1)[:, :itemnum]
+        return jnp.concatenate([tgt_score, swept], axis=1)
 
     def evaluate(params, key, arrays):
         idx_all = jnp.arange(padded).reshape(steps, batch)
+        full_catalog = "cands" not in arrays
 
         def body(carry, xs):
             idx, step = xs
             safe = jnp.minimum(idx, num_users - 1)
             bkey = jax.random.fold_in(key, step)
-            r = score_batch(
-                params, bkey,
-                arrays["seqs"][safe], arrays["t1"][safe], arrays["t2"][safe],
-                arrays["te"][safe], arrays["cands"][safe],
-                arrays["cand_t1"][safe], arrays["cand_t2"][safe],
-                arrays["users"][safe],
+            state = final_state(
+                params, arrays["seqs"][safe], arrays["t1"][safe],
+                arrays["t2"][safe], arrays["te"][safe], arrays["users"][safe],
             )
+            ct1, ct2 = arrays["cand_t1"][safe], arrays["cand_t2"][safe]
+            target, users = arrays["target"][safe], arrays["users"][safe]
+            if full_catalog:
+                if return_scores:
+                    r = sweep_scores(params, state, target, ct1, ct2, users)
+                else:
+                    r = sweep_batch(params, bkey, state, target, ct1, ct2, users)
+            else:
+                scores = score_cands(params, state, arrays["cands"][safe], ct1, ct2, users)
+                r = scores if return_scores else ranks_from_scores(scores, bkey)
             return carry, r
 
         _, ranks = jax.lax.scan(body, None, (idx_all, jnp.arange(steps)))

@@ -82,6 +82,9 @@ def parse(argv=None):
     p.add_argument("--fs_num_epochs", default=80, type=int)
     p.add_argument("--fs_emb", action="store_true")
     p.add_argument("--eval_batch_size", default=0, type=int)
+    # full-catalog (eval_method 3) sweep chunk; peak eval memory is
+    # O(eval_batch_size * eval_item_chunk), independent of catalog size
+    p.add_argument("--eval_item_chunk", default=4096, type=int)
     # rbg = TPU hardware RNG: dropout-mask generation ~free (see the
     # BSARec-side --prng flag; same Bernoulli semantics)
     p.add_argument("--prng", default="threefry", choices=("threefry", "rbg"))
@@ -185,7 +188,8 @@ def main(argv=None):
         num_epochs=args.num_epochs, epoch_test=args.epoch_test,
         stop_early=args.stop_early, seed=args.seed, fs_prop=args.fs_prop,
         fs_num_epochs=args.fs_num_epochs,
-        eval_batch_size=args.eval_batch_size, l2_emb=args.l2_emb,
+        eval_batch_size=args.eval_batch_size,
+        eval_item_chunk=args.eval_item_chunk, l2_emb=args.l2_emb,
         first_eval=args.first_eval, train_only=args.train_only,
         state_override=args.state_override,
     )
@@ -288,7 +292,7 @@ def main(argv=None):
     if args.export_serving:
         from bsarec_tpu.preprec.serving import export_candidate_scorer
 
-        n_cands = build_eval_inputs(ds, cfg, args.mode, usernegs).cands.shape[1]
+        n_cands = build_eval_inputs(ds, cfg, args.mode, usernegs).num_cands
         meta = export_candidate_scorer(
             trainer.model, cfg, trainer.params, pop_enc, eval_pop,
             args.maxlen, n_cands, args.export_serving,

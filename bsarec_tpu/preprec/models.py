@@ -367,6 +367,9 @@ class NewB4Rec(nn.Module):
         ]
         self.out = torch_dense(cfgh, cfgh, "out")
 
+    def embed_feats(self, feats):
+        return self.embed_layer(feats)
+
     def encode(self, seq_feats, valid, *, train: bool = False):
         cfg = self.config
         seqs = self.embed_layer(seq_feats)

@@ -366,17 +366,19 @@ class PrepRecTrainer:
     def _eval_batch(self) -> int:
         """Configured eval scoring batch (`--eval_batch_size`); 0 picks
         the memory-safe default per eval method (full-catalog scoring
-        materializes [batch, itemnum] tiles)."""
+        streams [batch, item_chunk] candidate tiles)."""
         if self.tcfg.eval_batch_size > 0:
             return self.tcfg.eval_batch_size
-        return 64 if self.cfg.eval_method != 3 else 8
+        return 64 if self.cfg.eval_method != 3 else 32
 
     def _eval(self, mode: str):
         if mode not in self._eval_arrays:
             inputs = build_eval_inputs(self.ds, self.cfg, mode, self.usernegs)
+            keys = ["seqs", "t1", "t2", "te", "target", "cand_t1", "cand_t2", "users"]
+            if inputs.cands is not None:
+                keys.append("cands")  # absent => implicit full-catalog sweep
             self._eval_arrays[mode] = {
-                k: jnp.asarray(getattr(inputs, k))
-                for k in ("seqs", "t1", "t2", "te", "cands", "cand_t1", "cand_t2", "users")
+                k: jnp.asarray(getattr(inputs, k)) for k in keys
             }
         # one cached fn is enough: make_eval_fn closes over batch and
         # num_users only, and the jitted callable retraces per input
@@ -385,7 +387,9 @@ class PrepRecTrainer:
         if self._eval_fn is None:
             batch = self._eval_batch()
             self._eval_fn, _ = make_eval_fn(
-                self.model, self.cfg, self.pop_enc, self.eval_pop, batch, self.ds.usernum
+                self.model, self.cfg, self.pop_enc, self.eval_pop, batch,
+                self.ds.usernum, self.ds.itemnum,
+                item_chunk=self.tcfg.eval_item_chunk,
             )
         key, self.rng = jax.random.split(self.rng)
         ranks = np.asarray(self._eval_fn(self.params, key, self._eval_arrays[mode]))
@@ -407,7 +411,8 @@ class PrepRecTrainer:
             batch = self._eval_batch()
             self._score_fn, _ = make_eval_fn(
                 self.model, self.cfg, self.pop_enc, self.eval_pop, batch,
-                self.ds.usernum, return_scores=True,
+                self.ds.usernum, self.ds.itemnum, return_scores=True,
+                item_chunk=self.tcfg.eval_item_chunk,
             )
         key, self.rng = jax.random.split(self.rng)
         return np.asarray(self._score_fn(self.params, key, self._eval_arrays[mode]))

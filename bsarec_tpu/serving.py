@@ -20,12 +20,16 @@ parity requires it. Artifact properties:
 jax/jaxlib only. The reference has no serving path at all (its eval is
 a host-side numpy argpartition, `src/trainers.py:142-149`).
 
-Scope: the artifact materializes [b, V] logits (dense ranking), sized
-for reference-scale catalogs (up to a few million items at serving
-batch sizes). Million-to-10M-item catalogs should serve in-process via
-the O(B)-memory streaming kernels (`ops/pallas_rank.py`), which are
-TPU-Mosaic custom calls and deliberately not part of the portable
-CPU+TPU artifact.
+Scope: two layouts. `impl='dense'` materializes [b, V] logits — right
+for small/medium catalogs, but at 1M items the slab + full-width top_k
+dominate (the measured reason int8 is a no-op there — see
+benchmarks/serving_bench.py's stage rows). `impl='chunked'` streams
+the catalog in `item_chunk` blocks with per-chunk top-k + merge
+(`chunked_masked_topk`) — identical ranking, O(b*item_chunk) peak, the
+million-item layout, still pure lax and portable. Past that, 10M-item
+catalogs can serve in-process via the O(B)-memory streaming kernels
+(`ops/pallas_rank.py`), TPU-Mosaic custom calls deliberately not part
+of the portable CPU+TPU artifact.
 """
 
 from __future__ import annotations
@@ -83,8 +87,59 @@ def int8_logits(state, table):
     return int8_logits_prequant(state.astype(jnp.float32), q_table, t_scale)
 
 
+def chunked_masked_topk(state_pack, tables, logits_fn, seen_items, v: int,
+                        k: int = 20, item_chunk: int = 65536):
+    """Streaming serving top-k: scan the catalog in `item_chunk`-row
+    blocks, per-chunk top-k, one final merge — peak [b, item_chunk]
+    instead of [b, V], and the full logits slab never exists. Pure lax
+    (scan + dynamic_slice + top_k), so it exports to the portable
+    CPU+TPU artifact — unlike the Pallas streaming kernels
+    (`ops/pallas_rank.py`), which stay in-process.
+
+    state_pack: per-request precomputed operands (e.g. the [b, h] state,
+    or its int8 quantization) closed over by `logits_fn(state_pack,
+    *table_slices) -> [b, item_chunk] f32`. tables: arrays sliced along
+    dim 0 per chunk (the item table, int8 rows + scales, ...). Seen ids
+    and the padding column mask to -inf as in `serving_masked_topk`
+    (out-of-chunk scatters land on a dump column)."""
+    n_chunks = -(-v // item_chunk)
+    k_eff = min(k, item_chunk)  # a chunk can hold at most item_chunk hits
+    if n_chunks * k_eff < k:
+        raise ValueError(
+            f"item_chunk={item_chunk} too small to surface top-{k} over "
+            f"{v} items ({n_chunks} chunks x {k_eff} kept)"
+        )
+    pad_v = n_chunks * item_chunk
+    tables = tuple(
+        jnp.pad(t, ((0, pad_v - v),) + ((0, 0),) * (t.ndim - 1)) for t in tables
+    )
+    b = seen_items.shape[0]
+
+    def body(_, c):
+        start = c * item_chunk
+        slices = tuple(
+            jax.lax.dynamic_slice_in_dim(t, start, item_chunk, 0) for t in tables
+        )
+        logits = logits_fn(state_pack, *slices)  # [b, item_chunk] f32
+        gids = start + jnp.arange(item_chunk, dtype=jnp.int32)
+        logits = jnp.where((gids >= 1) & (gids < v), logits, -jnp.inf)
+        local = seen_items - start
+        dump = jnp.where((local >= 0) & (local < item_chunk), local, item_chunk)
+        ext = jnp.concatenate([logits, jnp.zeros((b, 1), logits.dtype)], axis=1)
+        ext = ext.at[jnp.arange(b)[:, None], dump].set(-jnp.inf)
+        vals, loc = jax.lax.top_k(ext[:, :item_chunk], k_eff)
+        return None, (vals, start + loc)
+
+    _, (vals, ids) = jax.lax.scan(body, None, jnp.arange(n_chunks))
+    vals = jnp.moveaxis(vals, 0, 1).reshape(b, -1)  # [b, n_chunks*k]
+    ids = jnp.moveaxis(ids, 0, 1).reshape(b, -1)
+    mvals, mloc = jax.lax.top_k(vals, k)
+    return mvals, jnp.take_along_axis(ids, mloc, axis=1)
+
+
 def build_scoring_fn(model, item_size: int, dtype: str = "float32", k: int = 20,
-                     quant: str | None = None):
+                     quant: str | None = None, impl: str = "dense",
+                     item_chunk: int = 65536):
     """The serving ranking computation as a pure fn of params.
 
     Logits mirror `train/loop.py:build_eval_fn`'s dense branch (the
@@ -93,9 +148,15 @@ def build_scoring_fn(model, item_size: int, dtype: str = "float32", k: int = 20,
     masking uses the serving contract (`serving_masked_topk`: seen and
     padding ids to -inf), not the eval path's reference-parity zeroing.
     `quant='int8'` swaps the catalog matmul for `int8_logits`.
+    `impl='chunked'` streams the catalog in `item_chunk` blocks
+    (`chunked_masked_topk`): same ranking, O(b * item_chunk) peak
+    instead of the O(b * V) logits slab whose write/read + full-width
+    top_k dominates big-catalog dense serving.
     """
     if quant not in (None, "int8"):
         raise ValueError(f"unknown serving quantization {quant!r}")
+    if impl not in ("dense", "chunked"):
+        raise ValueError(f"unknown serving impl {impl!r}")
 
     def predict_and_table(mdl, ids, uids):
         return mdl.predict(ids, uids), mdl.item_table
@@ -104,14 +165,41 @@ def build_scoring_fn(model, item_size: int, dtype: str = "float32", k: int = 20,
         out, table = model.apply(
             {"params": params}, input_ids, user_ids, method=predict_and_table
         )
+        state = out[:, -1, :]
+        tbl = table[:item_size]
+        dt = jnp.dtype(dtype)
+        if impl == "chunked":
+            if quant == "int8":
+                q_table, t_scale = quantize_rows(tbl)
+                q_state, s_scale = quantize_rows(state.astype(jnp.float32))
+
+                def logits_fn(pack, qt, ts):
+                    qs, ss = pack
+                    acc = jax.lax.dot_general(
+                        qs, qt, dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                    return acc.astype(jnp.float32) * ss[:, None] * ts[None, :]
+
+                _, topk_idx = chunked_masked_topk(
+                    (q_state, s_scale), (q_table, t_scale), logits_fn,
+                    seen_items, item_size, k=k, item_chunk=item_chunk)
+            else:
+                def logits_fn(st, t_slice):
+                    return jnp.einsum(
+                        "bh,vh->bv", st, t_slice.astype(dt),
+                        preferred_element_type=jnp.float32,
+                    )
+
+                _, topk_idx = chunked_masked_topk(
+                    state.astype(dt), (tbl,), logits_fn,
+                    seen_items, item_size, k=k, item_chunk=item_chunk)
+            return topk_idx
         if quant == "int8":
-            logits = int8_logits(out[:, -1, :], table[:item_size])
+            logits = int8_logits(state, tbl)
         else:
-            dt = jnp.dtype(dtype)
             logits = jnp.einsum(
-                "bh,vh->bv",
-                out[:, -1, :].astype(dt),
-                table[:item_size].astype(dt),
+                "bh,vh->bv", state.astype(dt), tbl.astype(dt),
                 preferred_element_type=jnp.float32,
             )
         _, topk_idx = serving_masked_topk(logits, seen_items, k=k)
@@ -122,16 +210,20 @@ def build_scoring_fn(model, item_size: int, dtype: str = "float32", k: int = 20,
 
 def export_scorer(model, params, item_size: int, max_len: int,
                   seen_width: int, path: str, dtype: str = "float32",
-                  platforms=("cpu", "tpu"), quant: str | None = None) -> dict:
+                  platforms=("cpu", "tpu"), quant: str | None = None,
+                  impl: str = "dense", item_chunk: int = 65536) -> dict:
     """Serialize the params-baked scorer to `path`; returns metadata.
 
     `quant='int8'`: the item table is quantized at export (the static
     scales and int8 rows become the artifact's constants) and the
     catalog matmul serves on the int8 MXU path — see `int8_logits`.
+    `impl='chunked'`: stream the catalog in `item_chunk` blocks
+    (`chunked_masked_topk`) — the big-catalog serving path.
     """
     from jax import export as jexport
 
-    score_topk = build_scoring_fn(model, item_size, dtype=dtype, quant=quant)
+    score_topk = build_scoring_fn(model, item_size, dtype=dtype, quant=quant,
+                                  impl=impl, item_chunk=item_chunk)
     frozen = jax.device_get(params)  # baked as artifact constants
 
     def serve(input_ids, user_ids, seen_items):
@@ -150,7 +242,8 @@ def export_scorer(model, params, item_size: int, max_len: int,
         "path": path, "bytes": len(blob), "call": SERVING_CALL_DOC,
         "platforms": list(platforms), "max_len": max_len,
         "seen_width": seen_width, "item_size": item_size,
-        "quant": quant or "none",
+        "quant": quant or "none", "impl": impl,
+        "item_chunk": item_chunk if impl == "chunked" else None,
     }
 
 

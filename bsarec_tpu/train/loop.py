@@ -124,6 +124,27 @@ def resolve_scan_unroll(requested: int, model_cfg, batch_size: int,
     return unroll, est
 
 
+def _with_dropout_pool(apply):
+    """Wrap a `(params, batch, dropout_key) -> loss` apply so that under
+    BSAREC_DROPOUT=pooled (+ rbg PRNG) every dropout site's bits come
+    from ONE RngBitGenerator call: a jax.eval_shape pass over the same
+    apply counts the word demand through `core.dropout.dropout_bit_pool`,
+    then the real trace runs with the pooled words in scope, each site
+    taking a static slice. With pooling disabled this is the identity."""
+    from bsarec_tpu.core import dropout as fdrop
+
+    def wrapped(params, batch, dropout_key):
+        if not fdrop.pool_enabled():
+            return apply(params, batch, dropout_key)
+        with fdrop.dropout_bit_pool(None) as counter:
+            jax.eval_shape(apply, params, batch, dropout_key)
+        words = jax.random.bits(dropout_key, (counter.offset,), jnp.uint32)
+        with fdrop.dropout_bit_pool(words):
+            return apply(params, batch, dropout_key)
+
+    return wrapped
+
+
 def build_train_epoch(model, tx, item_size: int, batch_size: int, num_samples: int, with_sem: bool, mesh=None, unroll: int = 2, remat: bool = False):
     """Returns a jitted `epoch(params, opt_state, key, inputs, answers,
     users, sem) -> (params, opt_state, mean_loss)`.
@@ -148,6 +169,7 @@ def build_train_epoch(model, tx, item_size: int, batch_size: int, num_samples: i
             rngs={"dropout": dropout_key},
         )
 
+    loss_fn = _with_dropout_pool(loss_fn)
     if remat:
         # whole-loss rematerialization: the backward re-runs the forward
         # instead of keeping per-layer residuals alive — the coarse but
@@ -217,6 +239,7 @@ def build_train_step(model, tx, item_size: int, with_sem: bool, mesh=None, remat
             rngs={"dropout": dropout_key},
         )
 
+    loss_fn = _with_dropout_pool(loss_fn)
     if remat:
         loss_fn = jax.checkpoint(loss_fn)
     grad_fn = jax.value_and_grad(loss_fn)

@@ -48,6 +48,8 @@ def acquire(label: str = "", block: bool = True) -> bool:
     Returns True on acquisition; with block=False, returns False
     immediately if another heavy job holds it.
     """
+    if os.environ.get("BSAREC_NO_HEAVYLOCK") == "1":
+        return True  # explicit bypass: tiny CPU smokes that must not queue
     if _held or _lock_fd_inherited():
         return True  # reentrant: we (or an ancestor sharing our fd) hold it
     fh = open(LOCK_PATH, "w")

@@ -294,66 +294,141 @@ def test_export_candidate_scorer_roundtrip(synth_dataset, tmp_path):
     want = tr.eval_scores("valid")  # [U, C] via make_eval_fn
 
     inputs = build_eval_inputs(ds, cfg, "valid", negs)
+    n_cands = inputs.cands.shape[1]
+    # the serving contract takes [b, C] candidate times; EvalInputs
+    # stores them as per-user columns (constant across candidates)
+    ct1 = np.repeat(inputs.cand_t1[:, None], n_cands, axis=1)
+    ct2 = np.repeat(inputs.cand_t2[:, None], n_cands, axis=1)
     path = str(tmp_path / "preprec_scorer.jaxexp")
     meta = export_candidate_scorer(
         tr.model, cfg, tr.params, pop, None,
-        cfg.maxlen, inputs.cands.shape[1], path)
+        cfg.maxlen, n_cands, path)
     assert meta["bytes"] > 0 and meta["model"] == "newrec"
 
     scorer = load_candidate_scorer(path)
     assert scorer.seq_len == cfg.maxlen
-    assert scorer.n_cands == inputs.cands.shape[1]
+    assert scorer.n_cands == n_cands
     got = scorer.scores(inputs.seqs, inputs.t1, inputs.t2, inputs.cands,
-                        inputs.cand_t1, inputs.cand_t2, inputs.users)
+                        ct1, ct2, inputs.users)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
     # batch-polymorphic: a 3-row slice reuses the same artifact
     got3 = scorer.scores(inputs.seqs[:3], inputs.t1[:3], inputs.t2[:3],
-                         inputs.cands[:3], inputs.cand_t1[:3],
-                         inputs.cand_t2[:3], inputs.users[:3])
+                         inputs.cands[:3], ct1[:3], ct2[:3], inputs.users[:3])
     np.testing.assert_allclose(got3, want[:3], rtol=1e-5, atol=1e-5)
     top = scorer.topk(inputs.seqs[:3], inputs.t1[:3], inputs.t2[:3],
-                      inputs.cands[:3], inputs.cand_t1[:3],
-                      inputs.cand_t2[:3], inputs.users[:3], k=5)
+                      inputs.cands[:3], ct1[:3], ct2[:3], inputs.users[:3], k=5)
     np.testing.assert_array_equal(
         top, np.argsort(-got3, axis=1, kind="stable")[:, :5])
 
 
-def test_mostpop_vectorized_exclusion_matches_loop():
-    """The [U, V+1] scatter-based rated-item exclusion equals the
-    reference-shaped per-user np.isin loop (`repo-b/utils.py:867-871`),
-    including identical tie-break draws."""
+def test_mostpop_implicit_catalog_matches_explicit_loop():
+    """The counting-based implicit full-catalog mostpop (order
+    statistics + one Binomial tie draw; nothing of size [U, V] is
+    built) matches the reference-shaped explicit scoring
+    (`repo-b/utils.py:858-883`: [gt] + arange with rated items removed,
+    random-key tie-break) exactly on the deterministic strictly-better
+    count, within the tie bounds per draw, and in per-user mean over
+    many seeds (the tie laws are identical: every tied candidate beats
+    the ground truth iff its uniform draw exceeds the gt's single
+    draw, i.e. Binomial(n_tied, 1-u_gt) wins conditional on u_gt)."""
     from bsarec_tpu.preprec.evaluate import EvalInputs, mostpop_ranks
 
     rng = np.random.default_rng(7)
     itemnum, users = 40, 16
     target = rng.integers(1, itemnum + 1, users).astype(np.int32)
-    cands = np.concatenate(
-        [target[:, None], np.tile(np.arange(1, itemnum + 1, dtype=np.int32), (users, 1))],
-        axis=1,
-    )
     seqs = rng.integers(0, itemnum + 1, (users, 10)).astype(np.int32)
-    z = np.zeros_like(seqs)
-    zc = np.zeros_like(cands)
-    inp = EvalInputs(seqs, z, z, z, cands, zc, zc, np.arange(1, users + 1, dtype=np.int32))
-    rawpop = rng.random(itemnum)
+    zc = np.zeros(users, np.int32)
+    inp = EvalInputs(
+        seqs, np.zeros_like(seqs), np.zeros_like(seqs), np.zeros_like(seqs),
+        target, None, zc, zc, np.arange(1, users + 1, dtype=np.int32), itemnum,
+    )
+    rawpop = np.round(rng.random(itemnum), 1)  # coarse values -> real ties
 
-    def loop_version(seed):
-        pop = np.concatenate([[0.0], rawpop])
-        scores = pop[inp.cands]
-        for u in range(users):
-            rated = inp.seqs[u][inp.seqs[u] > 0]
-            mask = np.isin(inp.cands[u, 1:], rated)
-            scores[u, 1:][mask] = -np.inf
+    # reference-shaped explicit competitor sets
+    pop = np.concatenate([[0.0], rawpop])
+    n_gt = np.zeros(users, int)
+    n_tied = np.zeros(users, int)
+    for u in range(users):
+        rated = np.unique(seqs[u])
+        rated = rated[rated > 0]
+        comp = np.setdiff1d(np.arange(1, itemnum + 1), rated)
+        n_gt[u] = int(np.sum(pop[comp] > pop[target[u]]))
+        n_tied[u] = int(np.sum(pop[comp] == pop[target[u]]))
+
+    def explicit_version(seed):
         r = np.random.default_rng(seed)
-        tie = r.random(scores.shape)
-        better = scores > scores[:, :1]
-        tied = (scores == scores[:, :1]) & (tie > tie[:, :1])
-        tied[:, 0] = False
-        return np.sum(better | tied, axis=1)
+        out = np.zeros(users, int)
+        for u in range(users):
+            rated = np.unique(seqs[u])
+            rated = rated[rated > 0]
+            comp = np.setdiff1d(np.arange(1, itemnum + 1), rated)
+            s = pop[comp]
+            u_gt = r.random()
+            u_c = r.random(s.size)
+            out[u] = np.sum((s > pop[target[u]]) | ((s == pop[target[u]]) & (u_c > u_gt)))
+        return out
 
-    for seed in (0, 1, 2):
-        got = mostpop_ranks(inp, rawpop, np.random.default_rng(seed), exclude_rated=True)
-        np.testing.assert_array_equal(got, loop_version(seed))
+    n_seeds = 400
+    imp = np.stack([
+        mostpop_ranks(inp, rawpop, np.random.default_rng(s), exclude_rated=True)
+        for s in range(n_seeds)
+    ])
+    exp = np.stack([explicit_version(s) for s in range(n_seeds)])
+    # deterministic part + bounds hold draw by draw
+    assert (imp >= n_gt[None]).all() and (imp <= (n_gt + n_tied)[None]).all()
+    assert (exp >= n_gt[None]).all() and (exp <= (n_gt + n_tied)[None]).all()
+    # tie-free users rank identically every draw
+    free = n_tied == 0
+    np.testing.assert_array_equal(imp[:, free], np.broadcast_to(n_gt[free], (n_seeds, free.sum())))
+    # per-user mean rank agrees (E = n_gt + n_tied/2, se <~ 0.1 here)
+    np.testing.assert_allclose(imp.mean(0), exp.mean(0), atol=0.5)
+
+
+def test_full_catalog_eval_streaming_matches_explicit(synth_dataset, tmp_path):
+    """eval_method 3 never materializes [U, V]: candidates are the
+    implicit [gt] + arange sweep and the gt rank accumulates over
+    `eval_item_chunk`-sized blocks (the TPU-native equivalent of
+    `repo-b/utils.py:492-545`'s host chunking). Chunked scoring is
+    bit-exact vs the monolithic candidate einsum, so streaming ranks
+    must equal the explicit n_better count wherever scores are
+    tie-free, sit within the tie bounds elsewhere, and the model's own
+    `predict` must reproduce the swept score rows."""
+    prefix, _ = synth_dataset
+    ds, cfg, pop, _ = _make_cfg(prefix, "newrec", eval_method=3)
+    # item_chunk smaller than the catalog forces multiple sweep chunks
+    tcfg = PrepRecTrainConfig(batch_size=16, num_epochs=1, epoch_test=1,
+                              seed=9, eval_batch_size=8, eval_item_chunk=16)
+    tr = PrepRecTrainer(cfg, tcfg, ds, _logger(), str(tmp_path / "fc"),
+                        pop_enc=pop, usernegs=None)
+    tr.train_epoch()
+    _, ranks = tr.evaluate("valid")
+    scores = tr.eval_scores("valid")  # [U, V+1] via the same chunked sweep
+    assert scores.shape == (ds.usernum, ds.itemnum + 1)
+    assert np.isfinite(scores).all()
+
+    n_better = (scores[:, 1:] > scores[:, :1]).sum(1)
+    n_tied = (scores[:, 1:] == scores[:, :1]).sum(1)
+    assert (ranks >= n_better).all() and (ranks <= n_better + n_tied).all()
+    free = n_tied == 0
+    assert free.any()  # the corpus must actually exercise the exact branch
+    np.testing.assert_array_equal(ranks[free], n_better[free])
+
+    # the factored final-state x cand-embed sweep equals model.predict
+    from bsarec_tpu.preprec.evaluate import build_eval_inputs
+
+    inputs = build_eval_inputs(ds, cfg, "valid", None)
+    b = 4
+    cands = np.concatenate(
+        [inputs.target[:b, None],
+         np.tile(np.arange(1, ds.itemnum + 1, dtype=np.int32), (b, 1))], axis=1)
+    ct1 = np.repeat(inputs.cand_t1[:b, None], cands.shape[1], axis=1)
+    ct2 = np.repeat(inputs.cand_t2[:b, None], cands.shape[1], axis=1)
+    feats = pop(inputs.seqs[:b], inputs.t1[:b], inputs.t2[:b])
+    cand_feats = pop(jnp.asarray(cands), jnp.asarray(ct1), jnp.asarray(ct2))
+    direct = tr.model.apply(
+        {"params": tr.params}, feats, inputs.seqs[:b] == 0, cand_feats,
+        None, method="predict")
+    np.testing.assert_allclose(np.asarray(direct), scores[:b], rtol=1e-5, atol=1e-5)
 
 
 def test_user_embedding_export(synth_dataset, tmp_path):

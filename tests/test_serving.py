@@ -261,3 +261,73 @@ def test_serving_export_user_conditioned_model(tmp_path):
     want = fn(t.params, jnp.asarray(ids),
               jnp.arange(6, dtype=jnp.int32), jnp.asarray(seen))
     np.testing.assert_array_equal(u_a, np.asarray(want))
+
+
+def test_seen_item_masking_contract_eval_vs_serving():
+    """Freezes the deliberate 0.0-vs--inf masking split (VERDICT r4
+    item 7). The eval path keeps the reference's `rating_pred[seen]=0`
+    quirk (`src/trainers.py:134`, `ops/topk.py:masked_topk`): with
+    all-NEGATIVE logits a seen item's zeroed score outranks every real
+    candidate, so seen items LEAK into the metric top-k — required for
+    HR/NDCG parity. The serving contract
+    (`serving.py:serving_masked_topk`) masks seen ids and the padding
+    column to -inf, so the same request can never be served a history
+    item or the padding id."""
+    import jax
+
+    from bsarec_tpu.ops.topk import masked_topk
+    from bsarec_tpu.serving import serving_masked_topk
+
+    v = 12
+    logits = -jnp.abs(jax.random.normal(jax.random.PRNGKey(0), (2, v))) - 0.5
+    seen = jnp.asarray([[3, 5, 0], [7, 0, 0]], jnp.int32)
+
+    _, eval_idx = masked_topk(logits, seen, k=4)
+    eval_idx = np.asarray(eval_idx)
+    # the parity quirk: zeroed seen items dominate an all-negative row
+    assert 3 in eval_idx[0] and 5 in eval_idx[0]
+    assert 7 in eval_idx[1]
+
+    srv_vals, srv_idx = serving_masked_topk(logits, seen, k=4)
+    srv_idx = np.asarray(srv_idx)
+    assert 3 not in srv_idx[0] and 5 not in srv_idx[0]
+    assert 7 not in srv_idx[1]
+    assert (srv_idx != 0).all()  # padding id never served
+    assert np.isfinite(np.asarray(srv_vals)).all()  # enough real candidates
+
+
+def test_serving_chunked_impl_matches_dense(trained_bsarec, tmp_path):
+    """The streaming serving path (`chunked_masked_topk`: per-chunk
+    top-k over catalog blocks + final merge, no [b, V] logits slab)
+    returns the same ranked ids as the dense path, with a chunk size
+    that forces many partial blocks and a ragged tail; the chunked
+    artifact round-trips through jax.export like the dense one."""
+    t, data, model_cfg, _, _ = trained_bsarec
+    uids = jnp.arange(data.test.num_users, dtype=jnp.int32)
+    ids = jnp.asarray(data.test.input_ids)
+    seen = jnp.asarray(data.test.seen_items)
+
+    dense = build_scoring_fn(t.model, model_cfg.item_size)
+    want = np.asarray(dense(t.params, ids, uids, seen))
+    for chunk in (7, 8, 64):  # ragged tail, power of two, single block
+        chunked = build_scoring_fn(t.model, model_cfg.item_size,
+                                   impl="chunked", item_chunk=chunk)
+        got = np.asarray(chunked(t.params, ids, uids, seen))
+        np.testing.assert_array_equal(got, want), chunk
+
+    # int8 chunked == int8 dense (same quantized scores, different sweep)
+    dense8 = build_scoring_fn(t.model, model_cfg.item_size, quant="int8")
+    chunk8 = build_scoring_fn(t.model, model_cfg.item_size, quant="int8",
+                              impl="chunked", item_chunk=8)
+    np.testing.assert_array_equal(
+        np.asarray(chunk8(t.params, ids, uids, seen)),
+        np.asarray(dense8(t.params, ids, uids, seen)))
+
+    # exported chunked artifact round-trips
+    path = str(tmp_path / "chunked.jaxexp")
+    meta = export_scorer(t.model, t.params, model_cfg.item_size, 10,
+                         seen.shape[1], path, impl="chunked", item_chunk=8)
+    assert meta["impl"] == "chunked" and meta["item_chunk"] == 8
+    got = load_scorer(path).topk(data.test.input_ids, np.asarray(uids),
+                                 data.test.seen_items)
+    np.testing.assert_array_equal(got, want)
