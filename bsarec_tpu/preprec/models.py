@@ -17,11 +17,23 @@ Numerics contracts:
 - BERT-style blocks (`model.py:335-365,575-600`): bidirectional MHA
   with output linear, masked_fill(-1e9), tanh-GELU 4x FFN, final
   `out` dense.
-- Linear/Embedding inits follow torch defaults (kaiming-uniform /
-  N(0,1)) since repo-b applies no custom init.
+- Init follows the reference's EFFECTIVE scheme: repo-b re-initializes
+  every parameter with `torch.nn.init.xavier_normal_` inside a bare
+  try/except (`repo-b/main.py:126-135`) — xavier raises on tensors
+  with <2 dims, so all >=2-D params (Linear kernels, Embedding tables,
+  attention projections) become N(0, 2/(fan_in+fan_out)) while 1-D
+  params (biases, LayerNorms) keep their module defaults; the
+  explicitly-zeroed names are `embed_layer.fc1.bias` (done in
+  `train.py:_init_params`) and `embed_layer.fc12.bias` (matches no
+  parameter — fc2 is the real second layer — so it is dead code).
+  Set BSAREC_PREPREC_INIT=torch to ablate back to pure torch defaults
+  (kaiming-uniform kernels, N(0,1) embeddings) — the r4 head-to-head
+  configuration whose trained legs beat the reference 2.5x.
 """
 
 from __future__ import annotations
+
+import os
 
 import flax.linen as nn
 import jax
@@ -34,6 +46,12 @@ from bsarec_tpu.preprec.popularity import sinusoid_table
 NEG_BIG = -(2.0**32) + 1
 
 
+def _init_scheme() -> str:
+    """"xavier" = reference-effective (repo-b/main.py:126-135);
+    "torch" = plain torch module defaults (ablation)."""
+    return os.environ.get("BSAREC_PREPREC_INIT", "xavier")
+
+
 def torch_kaiming_uniform(fan_in: int):
     bound = float(np.sqrt(1.0 / fan_in))
 
@@ -43,10 +61,21 @@ def torch_kaiming_uniform(fan_in: int):
     return init
 
 
+def _xavier_normal(key, shape, dtype=jnp.float32):
+    """torch.nn.init.xavier_normal_: N(0, 2/(fan_in+fan_out)). torch's
+    fan pair for a 2-D tensor is (size(1), size(0)) — the std depends
+    only on the SUM, so axis order is irrelevant."""
+    std = float(np.sqrt(2.0 / (shape[-2] + shape[-1])))
+    return std * jax.random.normal(key, shape, dtype)
+
+
 def torch_dense(features: int, in_features: int, name: str) -> nn.Dense:
+    kernel = _xavier_normal if _init_scheme() == "xavier" else torch_kaiming_uniform(in_features)
     return nn.Dense(
         features,
-        kernel_init=torch_kaiming_uniform(in_features),
+        kernel_init=kernel,
+        # biases are 1-D: xavier_normal_ raises and the reference's
+        # except keeps the torch Linear default
         bias_init=torch_kaiming_uniform(in_features),
         name=name,
     )
@@ -54,7 +83,14 @@ def torch_dense(features: int, in_features: int, name: str) -> nn.Dense:
 
 def torch_embed(num: int, dim: int, name: str, zero_pad: bool = False) -> nn.Embed:
     def init(key, shape, dtype=jnp.float32):
-        table = jax.random.normal(key, shape, dtype)
+        if _init_scheme() == "xavier":
+            table = _xavier_normal(key, shape, dtype)
+        else:
+            table = jax.random.normal(key, shape, dtype)
+        # the reference's xavier sweep overwrites padding_idx row 0 with
+        # noise too, but every consumer masks padded positions (timeline
+        # mask / re-zeroing per layer); keeping row 0 at zero is the
+        # cleaner equivalent
         return table.at[0].set(0.0) if zero_pad else table
 
     return nn.Embed(num, dim, embedding_init=init, name=name)

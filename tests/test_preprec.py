@@ -561,3 +561,41 @@ def test_preprec_cli_accepts_reference_flag_surface():
     assert args.l2_emb == 0.1 and args.fs_num_epochs == 3
     assert args.export_user_embed  # --save_emb alias
     assert args.sparse_name == "sparse_" and args.time_df_mod == "_m"
+
+
+def test_init_scheme_matches_reference_effective(monkeypatch):
+    """repo-b's init loop (`main.py:126-135`) xavier_normal_-s every
+    parameter inside a bare try/except; xavier raises on <2-D tensors,
+    so the EFFECTIVE scheme is: >=2-D params ~ N(0, 2/(fan_in+fan_out)),
+    1-D params keep module defaults. Our default must reproduce that;
+    BSAREC_PREPREC_INIT=torch restores plain torch defaults (the r4
+    ablation arm)."""
+    from bsarec_tpu.preprec.models import SASRecB
+
+    cfg = PrepRecConfig(model="sasrec", usernum=8, itemnum=200, maxlen=16,
+                        hidden_units=64, num_blocks=1, num_heads=1,
+                        dropout_rate=0.0)
+    ids = jnp.ones((2, 16), jnp.int32)
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)}
+
+    monkeypatch.setenv("BSAREC_PREPREC_INIT", "xavier")
+    p = SASRecB(cfg).init(rngs, ids, ids, ids, train=False)["params"]
+    table = np.asarray(p["item_emb"]["embedding"])
+    # xavier_normal over [201, 64]: std = sqrt(2/265) ~= 0.0869
+    want = np.sqrt(2.0 / (201 + 64))
+    assert abs(table[1:].std() - want) / want < 0.05
+    assert (table[0] == 0).all()  # padding row
+    qw = np.asarray(p["backbone"]["attn_0"]["Q_w"]["kernel"])
+    want_q = np.sqrt(2.0 / (64 + 64))
+    assert abs(qw.std() - want_q) / want_q < 0.1
+    # biases keep the torch Linear default U(+-1/sqrt(fan_in))
+    qb = np.asarray(p["backbone"]["attn_0"]["Q_w"]["bias"])
+    assert np.abs(qb).max() <= 1 / np.sqrt(64) + 1e-6
+
+    monkeypatch.setenv("BSAREC_PREPREC_INIT", "torch")
+    p2 = SASRecB(cfg).init(rngs, ids, ids, ids, train=False)["params"]
+    t2 = np.asarray(p2["item_emb"]["embedding"])
+    assert abs(t2[1:].std() - 1.0) < 0.05  # N(0,1) embeddings
+    q2 = np.asarray(p2["backbone"]["attn_0"]["Q_w"]["kernel"])
+    bound = 1 / np.sqrt(64)
+    assert np.abs(q2).max() <= bound + 1e-6  # kaiming-uniform kernels
