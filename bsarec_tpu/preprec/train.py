@@ -9,7 +9,11 @@ see `sampler.py` for batch semantics.
 Divergences from the reference, on purpose:
 - `model.py:181`'s `mod_time2 = time1_seqs[:,1:]` (month times reused
   for the week table when prev_time=False) is implemented correctly
-  with `time2_seqs[:,1:]`.
+  with `time2_seqs[:,1:]`. Set BSAREC_PREPREC_QUIRK186=1 to reproduce
+  the reference's bugged gather (pos/neg week popularity indexed by
+  month periods) — used to attribute the reference's slower per-epoch
+  convergence in the same-machine head-to-head
+  (results/r5_runs/headtohead_preprec_plateau.md).
 - NewB4Rec's sampled-softmax target appends the true *label* item
   rather than the (possibly masked-to-0) input token (`model.py:382`).
 """
@@ -156,6 +160,10 @@ class PrepRecTrainer:
                 m1, m2 = t1[:, :-1], t2[:, :-1]
             else:
                 m1, m2 = t1[:, 1:], t2[:, 1:]
+            if os.environ.get("BSAREC_PREPREC_QUIRK186"):
+                # reference model.py:181/186: pos/neg WEEK popularity is
+                # gathered with MONTH periods (time1 passed as both)
+                m2 = m1
             pos_feats, neg_feats = pop(pos, m1, m2), pop(neg, m1, m2)
 
             def loss_fn(p, dkey):

@@ -169,6 +169,29 @@ def test_newrec_learns_signal(synth_dataset, tmp_path):
     assert 0 <= ranks.mean() <= 20
 
 
+def test_quirk186_toggle_reproduces_reference_gather(synth_dataset, tmp_path, monkeypatch):
+    """BSAREC_PREPREC_QUIRK186=1 must switch the trainer's pos/neg week
+    popularity gather to the reference's bugged month-indexed form
+    (`repo-b/model.py:181,186`) — used to attribute the head-to-head
+    convergence gap (results/r5_runs/headtohead_preprec_plateau.md).
+    Same seed: quirk changes the epoch loss; default path is unchanged."""
+    prefix, _ = synth_dataset
+    ds, cfg, pop, negs = _make_cfg(prefix, "newrec")
+    tcfg = PrepRecTrainConfig(batch_size=16, num_epochs=1, epoch_test=1, seed=7)
+
+    def one_epoch(tag):
+        tr = PrepRecTrainer(cfg, tcfg, ds, _logger(), str(tmp_path / tag),
+                            pop_enc=pop, usernegs=negs)
+        return tr.train_epoch()
+
+    base = one_epoch("a")
+    again = one_epoch("b")
+    assert base == again  # deterministic under fixed seed
+    monkeypatch.setenv("BSAREC_PREPREC_QUIRK186", "1")
+    quirk = one_epoch("c")
+    assert np.isfinite(quirk) and quirk != base
+
+
 def test_transfer_roundtrip(synth_dataset, tmp_path):
     """Zero-shot transfer: params trained on one domain load into a
     model built on different popularity tables (`repo-b/main.py:151-177`)."""
