@@ -112,6 +112,10 @@ def main():
         k: jnp.asarray(getattr(inputs, k))
         for k in ("seqs", "t1", "t2", "te", "target", "cand_t1", "cand_t2", "users")
     }
+    # tables as runtime args — baked-as-constants they exceed the remote
+    # compiler's HLO upload limit at this scale (HTTP 413, round 5)
+    arrays["pop_month"] = month.table
+    arrays["pop_week"] = week.table
     fn, steps = make_eval_fn(
         tr.model, cfg, pop, None, args.eval_batch, U, V,
         item_chunk=args.item_chunk,

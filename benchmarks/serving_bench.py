@@ -49,7 +49,9 @@ import jax.numpy as jnp
 
 from bsarec_tpu.ops.topk import masked_topk
 from bsarec_tpu.serving import (
+    bitmask_masked_topk,
     chunked_masked_topk,
+    filtered_masked_topk,
     int8_logits_prequant,
     quantize_rows,
 )
@@ -95,7 +97,8 @@ def main():
     ap.add_argument("--item_chunk", type=int, default=65536)
     ap.add_argument(
         "--variants",
-        default="f32,bf16,int8,f32_chunked,bf16_chunked,int8_chunked,stages")
+        default="f32,bf16,int8,f32_bitmask,bf16_bitmask,int8_bitmask,"
+        "f32_chunked,bf16_chunked,int8_chunked,stages")
     args = ap.parse_args()
 
     B, V, H, IC = args.batch, args.items, args.hidden, args.item_chunk
@@ -128,6 +131,51 @@ def main():
         variants["bf16"] = dense_rank(bf16_mm, tb)
     if "int8" in want:
         variants["int8"] = dense_rank(int8_logits_prequant, q_table, t_scale)
+    def filtered_rank(score, *score_args):
+        return lambda s: filtered_masked_topk(score(s, *score_args), seen)
+
+    def bitmask_rank(score, *score_args):
+        return lambda s: bitmask_masked_topk(score(s, *score_args), seen)
+
+    if "f32_bitmask" in want:
+        variants["f32_bitmask"] = bitmask_rank(f32_mm, table)
+    if "bf16_bitmask" in want:
+        variants["bf16_bitmask"] = bitmask_rank(bf16_mm, tb)
+    if "int8_bitmask" in want:
+        variants["int8_bitmask"] = bitmask_rank(
+            int8_logits_prequant, q_table, t_scale)
+    if "f32_bitmask_gather" in want:
+        # documented negative: gather-expanding the bitmask does not
+        # fuse into the masking where (14.0 vs 7.9 ms at 1M x 64)
+        def bitmask_gather_rank(s):
+            logits = f32_mm(s, table)
+            nw = (V + 31) // 32
+            sd = jnp.sort(seen, axis=1)
+            dup = jnp.concatenate(
+                [jnp.zeros((B, 1), bool), sd[:, 1:] == sd[:, :-1]], axis=1)
+            sd = jnp.where(dup, 0, sd)
+            word = jnp.where(sd > 0, sd // 32, nw)
+            contrib = jnp.where(
+                sd > 0, jnp.uint32(1) << (sd % 32).astype(jnp.uint32),
+                jnp.uint32(0))
+            rows = jnp.broadcast_to(jnp.arange(B)[:, None], sd.shape)
+            bm = jnp.zeros((B, nw + 1), jnp.uint32).at[rows, word].add(
+                contrib)[:, :nw]
+            cols = jnp.arange(V, dtype=jnp.int32)
+            is_seen = (bm[:, cols // 32] >> (cols % 32).astype(jnp.uint32)) & 1
+            masked = jnp.where((is_seen == 1) | (cols[None, :] == 0),
+                               -jnp.inf, logits)
+            return jax.lax.top_k(masked, 20)
+
+        variants["f32_bitmask_gather"] = bitmask_gather_rank
+
+    if "f32_filtered" in want:
+        variants["f32_filtered"] = filtered_rank(f32_mm, table)
+    if "bf16_filtered" in want:
+        variants["bf16_filtered"] = filtered_rank(bf16_mm, tb)
+    if "int8_filtered" in want:
+        variants["int8_filtered"] = filtered_rank(
+            int8_logits_prequant, q_table, t_scale)
     if "f32_chunked" in want:
         variants["f32_chunked"] = lambda s: chunked_masked_topk(
             s, (table,), lambda st, t: f32_mm(st, t), seen, V, item_chunk=IC)

@@ -62,11 +62,16 @@ def parse_args(argv=None):
         "symmetric per-row int8 (int8 MXU path, 2x bf16 peak on v5e)",
     )
     parser.add_argument(
-        "--serving_impl", default="dense", choices=["dense", "chunked"],
-        help="with --export_serving: 'chunked' streams the catalog in "
-        "--serving_item_chunk blocks (per-chunk top-k + merge) — same "
-        "ranking, O(b*chunk) peak memory instead of the [b, V] logits "
-        "slab; the right choice for million-item catalogs",
+        "--serving_impl", default="bitmask",
+        choices=["bitmask", "dense", "filtered", "chunked"],
+        help="with --export_serving: masking/streaming layout; all "
+        "return identical rankings. 'bitmask' (default) fuses the seen "
+        "mask as a u32-bitmask compare — 1.6x dense at 1M items; "
+        "'dense' is the classic [b, V] scatter-mask; 'filtered' masks "
+        "in top-k space (measured 5x slower: k+S+1 leaves the fast "
+        "small-k top_k path); 'chunked' streams the catalog in "
+        "--serving_item_chunk blocks — O(b*chunk) peak memory, for "
+        "catalogs whose logits slab cannot exist",
     )
     parser.add_argument("--serving_item_chunk", default=65536, type=int)
     parser.add_argument("--train_name", default=get_local_time(), type=str)

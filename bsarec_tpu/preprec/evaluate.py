@@ -250,91 +250,110 @@ def make_eval_fn(model, cfg: PrepRecConfig, pop_enc, eval_pop, batch: int,
             "eval (eval_method 3)"
         )
 
-    # --- every model's predict factors as final_state . cand_embed ------
-    def final_state(params, seqs, t1, t2, te, users):
-        """[B, H]; identical math to each model's `predict` prefix."""
-        if name == "newrec":
-            feats = pop_enc(seqs, t1, t2)
-            out = model.apply(
-                {"params": params}, feats, seqs == 0,
-                te if cfg.time_embed else None, method="encode",
-            )
-            return out[:, -1, :]
-        if name == "newb4rec":
-            feats = pop_enc(seqs, t1, t2)
-            return model.apply(
-                {"params": params}, feats, seqs > 0, method="encode"
-            )[:, -1, :]
-        if name == "bprmf":
-            return model.apply(
-                {"params": params}, users, method=lambda m, u: m.user_emb(u)
-            )
-        return model.apply({"params": params}, seqs, method="encode")[:, -1, :]
-
-    def cand_embed(params, cands, ct1, ct2, users):
-        """[B, C, H] candidate-side embeddings (ct* broadcast [B, C])."""
-        if name == "newrec":
-            if cfg.use_week_eval and eval_pop is not None:
-                cf = eval_pop(cands, ct1, users)
-            else:
-                cf = pop_enc(cands, ct1, ct2)
-            return model.apply({"params": params}, cf, method="embed_feats")
-        if name == "newb4rec":
-            cf = pop_enc(cands, ct1, ct2)
-            return model.apply({"params": params}, cf, method="embed_feats")
-        return model.apply(
-            {"params": params}, cands, method=lambda m, c: m.item_emb(c)
-        )
-
-    def score_cands(params, state, cands, ct1_col, ct2_col, users):
-        ct1 = jnp.broadcast_to(ct1_col[:, None], cands.shape)
-        ct2 = jnp.broadcast_to(ct2_col[:, None], cands.shape)
-        emb = cand_embed(params, cands, ct1, ct2, users)
-        return jnp.einsum("bcf,bf->bc", emb, state)
-
     n_chunks = math.ceil(itemnum / item_chunk)
 
-    def sweep_batch(params, key, state, target, ct1, ct2, users):
-        """Streaming ground-truth rank over the implicit catalog sweep."""
-        tgt_score = score_cands(params, state, target[:, None], ct1, ct2, users)[:, 0]
-        gt_key, chunk_key = jax.random.split(key)
-        # the monolithic tie-break compares every tied candidate's uniform
-        # draw against the ground truth's single draw (utils.py:553-558);
-        # same law here: one gt draw, fresh per-chunk candidate draws
-        u_gt = jax.random.uniform(gt_key, tgt_score.shape)
+    def _build(pop):
+        """Scoring closures over a given PopularityEncoding. `pop` is a
+        parameter (not captured at jit level) so big tables can enter
+        the jitted fn as runtime ARGUMENTS via arrays['pop_month'/'pop_week']
+        — closed-over tables get baked into the lowered module as
+        constants, and at production scale (~500 MB at 1M items) that
+        module cannot even upload to the remote compiler (HTTP 413,
+        `results/r5_runs/preprec_scale_1m.log` round 5)."""
 
-        def chunk_body(carry, c):
-            n_better, n_tiedwin = carry
-            ids = 1 + c * item_chunk + jnp.arange(item_chunk, dtype=jnp.int32)
-            valid = ids <= itemnum
-            cands = jnp.broadcast_to(ids[None, :], (state.shape[0], item_chunk))
-            s = score_cands(params, state, cands, ct1, ct2, users)
-            u = jax.random.uniform(jax.random.fold_in(chunk_key, c), s.shape)
-            better = valid[None, :] & (s > tgt_score[:, None])
-            tied = valid[None, :] & (s == tgt_score[:, None]) & (u > u_gt[:, None])
-            return (n_better + jnp.sum(better, axis=1),
-                    n_tiedwin + jnp.sum(tied, axis=1)), None
+        # --- every model's predict factors as final_state . cand_embed --
+        def final_state(params, seqs, t1, t2, te, users):
+            """[B, H]; identical math to each model's `predict` prefix."""
+            if name == "newrec":
+                feats = pop(seqs, t1, t2)
+                out = model.apply(
+                    {"params": params}, feats, seqs == 0,
+                    te if cfg.time_embed else None, method="encode",
+                )
+                return out[:, -1, :]
+            if name == "newb4rec":
+                feats = pop(seqs, t1, t2)
+                return model.apply(
+                    {"params": params}, feats, seqs > 0, method="encode"
+                )[:, -1, :]
+            if name == "bprmf":
+                return model.apply(
+                    {"params": params}, users, method=lambda m, u: m.user_emb(u)
+                )
+            return model.apply({"params": params}, seqs, method="encode")[:, -1, :]
 
-        zero = jnp.zeros(state.shape[0], jnp.int32)
-        (n_better, n_tiedwin), _ = jax.lax.scan(
-            chunk_body, (zero, zero), jnp.arange(n_chunks)
-        )
-        return n_better + n_tiedwin
+        def cand_embed(params, cands, ct1, ct2, users):
+            """[B, C, H] candidate-side embeddings (ct* broadcast [B, C])."""
+            if name == "newrec":
+                if cfg.use_week_eval and eval_pop is not None:
+                    cf = eval_pop(cands, ct1, users)
+                else:
+                    cf = pop(cands, ct1, ct2)
+                return model.apply({"params": params}, cf, method="embed_feats")
+            if name == "newb4rec":
+                cf = pop(cands, ct1, ct2)
+                return model.apply({"params": params}, cf, method="embed_feats")
+            return model.apply(
+                {"params": params}, cands, method=lambda m, c: m.item_emb(c)
+            )
 
-    def sweep_scores(params, state, target, ct1, ct2, users):
-        """Explicit [B, V+1] score rows from the same chunked sweep."""
-        tgt_score = score_cands(params, state, target[:, None], ct1, ct2, users)
+        def score_cands(params, state, cands, ct1_col, ct2_col, users):
+            ct1 = jnp.broadcast_to(ct1_col[:, None], cands.shape)
+            ct2 = jnp.broadcast_to(ct2_col[:, None], cands.shape)
+            emb = cand_embed(params, cands, ct1, ct2, users)
+            return jnp.einsum("bcf,bf->bc", emb, state)
 
-        def chunk_body(_, c):
-            ids = 1 + c * item_chunk + jnp.arange(item_chunk, dtype=jnp.int32)
-            cands = jnp.broadcast_to(ids[None, :], (state.shape[0], item_chunk))
-            return None, score_cands(params, state, cands, ct1, ct2, users)
+        def sweep_batch(params, key, state, target, ct1, ct2, users):
+            """Streaming ground-truth rank over the implicit catalog sweep."""
+            tgt_score = score_cands(params, state, target[:, None], ct1, ct2, users)[:, 0]
+            gt_key, chunk_key = jax.random.split(key)
+            # the monolithic tie-break compares every tied candidate's uniform
+            # draw against the ground truth's single draw (utils.py:553-558);
+            # same law here: one gt draw, fresh per-chunk candidate draws
+            u_gt = jax.random.uniform(gt_key, tgt_score.shape)
 
-        _, chunks = jax.lax.scan(chunk_body, None, jnp.arange(n_chunks))
-        swept = jnp.moveaxis(chunks, 0, 1).reshape(state.shape[0], -1)[:, :itemnum]
-        return jnp.concatenate([tgt_score, swept], axis=1)
+            def chunk_body(carry, c):
+                n_better, n_tiedwin = carry
+                ids = 1 + c * item_chunk + jnp.arange(item_chunk, dtype=jnp.int32)
+                valid = ids <= itemnum
+                cands = jnp.broadcast_to(ids[None, :], (state.shape[0], item_chunk))
+                s = score_cands(params, state, cands, ct1, ct2, users)
+                u = jax.random.uniform(jax.random.fold_in(chunk_key, c), s.shape)
+                better = valid[None, :] & (s > tgt_score[:, None])
+                tied = valid[None, :] & (s == tgt_score[:, None]) & (u > u_gt[:, None])
+                return (n_better + jnp.sum(better, axis=1),
+                        n_tiedwin + jnp.sum(tied, axis=1)), None
+
+            zero = jnp.zeros(state.shape[0], jnp.int32)
+            (n_better, n_tiedwin), _ = jax.lax.scan(
+                chunk_body, (zero, zero), jnp.arange(n_chunks)
+            )
+            return n_better + n_tiedwin
+
+        def sweep_scores(params, state, target, ct1, ct2, users):
+            """Explicit [B, V+1] score rows from the same chunked sweep."""
+            tgt_score = score_cands(params, state, target[:, None], ct1, ct2, users)
+
+            def chunk_body(_, c):
+                ids = 1 + c * item_chunk + jnp.arange(item_chunk, dtype=jnp.int32)
+                cands = jnp.broadcast_to(ids[None, :], (state.shape[0], item_chunk))
+                return None, score_cands(params, state, cands, ct1, ct2, users)
+
+            _, chunks = jax.lax.scan(chunk_body, None, jnp.arange(n_chunks))
+            swept = jnp.moveaxis(chunks, 0, 1).reshape(state.shape[0], -1)[:, :itemnum]
+            return jnp.concatenate([tgt_score, swept], axis=1)
+
+        return final_state, score_cands, sweep_batch, sweep_scores
 
     def evaluate(params, key, arrays):
+        pop = pop_enc
+        if "pop_month" in arrays:
+            pop = dataclasses.replace(
+                pop_enc,
+                month=dataclasses.replace(pop_enc.month, table=arrays["pop_month"]),
+                week=dataclasses.replace(pop_enc.week, table=arrays["pop_week"]),
+            )
+        final_state, score_cands, sweep_batch, sweep_scores = _build(pop)
         idx_all = jnp.arange(padded).reshape(steps, batch)
         full_catalog = "cands" not in arrays
 

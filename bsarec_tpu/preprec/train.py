@@ -388,6 +388,13 @@ class PrepRecTrainer:
             self._eval_arrays[mode] = {
                 k: jnp.asarray(getattr(inputs, k)) for k in keys
             }
+            if self.pop_enc is not None:
+                # tables enter the jitted eval as runtime arguments —
+                # closed over they bake into the lowered module as
+                # constants, which at production catalog scale exceeds
+                # the remote compiler's upload limit (evaluate.py:_build)
+                self._eval_arrays[mode]["pop_month"] = self.pop_enc.month.table
+                self._eval_arrays[mode]["pop_week"] = self.pop_enc.week.table
         # one cached fn is enough: make_eval_fn closes over batch and
         # num_users only, and the jitted callable retraces per input
         # shape — an eval_method 1<->3 switch (different candidate count

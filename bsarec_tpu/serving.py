@@ -20,16 +20,27 @@ parity requires it. Artifact properties:
 jax/jaxlib only. The reference has no serving path at all (its eval is
 a host-side numpy argpartition, `src/trainers.py:142-149`).
 
-Scope: two layouts. `impl='dense'` materializes [b, V] logits — right
-for small/medium catalogs, but at 1M items the slab + full-width top_k
-dominate (the measured reason int8 is a no-op there — see
-benchmarks/serving_bench.py's stage rows). `impl='chunked'` streams
-the catalog in `item_chunk` blocks with per-chunk top-k + merge
-(`chunked_masked_topk`) — identical ranking, O(b*item_chunk) peak, the
-million-item layout, still pure lax and portable. Past that, 10M-item
-catalogs can serve in-process via the O(B)-memory streaming kernels
-(`ops/pallas_rank.py`), TPU-Mosaic custom calls deliberately not part
-of the portable CPU+TPU artifact.
+Scope: four layouts, all returning identical rankings; measured at
+1M x 64 x b256 in `results/r5_runs/serving_bench_r5.log`:
+
+- `impl='bitmask'` (default, 7.9 ms): the seen mask becomes a u32
+  bitmask + broadcast-expanded compare that XLA fuses into the slab
+  pass (`bitmask_masked_topk`).
+- `impl='dense'` (12.3 ms): classic [b, V] scatter-mask; the stage
+  decomposition puts the scatter + full-slab rewrite at 10.8 ms of the
+  12.3 — the catalog matmul itself is ~free at hidden 64, which is
+  also why int8/bf16 quantization is a measured no-op at this shape.
+- `impl='filtered'` (60 ms — kept as a documented negative result):
+  masking in top-k space via an unmasked top-(k+S+1); exact, but
+  k+S+1=71 leaves lax.top_k's fast small-k path and costs 5x dense.
+- `impl='chunked'` (31 ms): streams the catalog in `item_chunk` blocks
+  with per-chunk top-k + merge (`chunked_masked_topk`) — O(b*chunk)
+  peak, for catalogs whose logits slab cannot exist; the
+  memory-bounded layout, not the fast one.
+
+Past that, 10M-item catalogs can serve in-process via the O(B)-memory
+streaming kernels (`ops/pallas_rank.py`), TPU-Mosaic custom calls
+deliberately not part of the portable CPU+TPU artifact.
 """
 
 from __future__ import annotations
@@ -53,6 +64,61 @@ def serving_masked_topk(logits: jnp.ndarray, seen_items: jnp.ndarray, k: int = 2
     logits = logits.at[batch, seen_items].set(-jnp.inf)
     logits = logits.at[:, 0].set(-jnp.inf)
     return jax.lax.top_k(logits, k)
+
+
+def bitmask_masked_topk(logits: jnp.ndarray, seen_items: jnp.ndarray, k: int = 20):
+    """Same contract and results as `serving_masked_topk`, with the
+    [b, V] scatter replaced by a fusable compare: seen ids OR into a
+    [b, ceil(V/32)] u32 bitmask (tiny scatter-add after an on-device
+    row dedupe — distinct ids hit distinct (word, bit) pairs so add is
+    OR), the bitmask broadcast-expands to per-column bits ([b, nw, 32]
+    shift-AND then reshape — this form fuses into the masking `where`;
+    an equivalent gather expansion does NOT fuse and loses), and one
+    `where` masks seen + column 0 to -inf. Measured at 1M x 64 x b256
+    (`results/r5_runs/serving_bench_r5.log`): 7.9 ms vs the scatter
+    path's 12.3 ms (the scatter + full-slab rewrite was 10.8 ms of it)
+    and vs 60 ms for masking in top-k space (`filtered_masked_topk`,
+    whose top-(k+S+1) leaves the fast small-k top_k path)."""
+    b, v = logits.shape
+    nw = (v + 31) // 32
+    sd = jnp.sort(seen_items.astype(jnp.int32), axis=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((b, 1), bool), sd[:, 1:] == sd[:, :-1]], axis=1)
+    sd = jnp.where(dup, 0, sd)
+    word = jnp.where(sd > 0, sd // 32, nw)  # padding ids -> dump word
+    contrib = jnp.where(
+        sd > 0, jnp.uint32(1) << (sd % 32).astype(jnp.uint32), jnp.uint32(0))
+    rows = jnp.broadcast_to(jnp.arange(b)[:, None], sd.shape)
+    bm = jnp.zeros((b, nw + 1), jnp.uint32).at[rows, word].add(contrib)[:, :nw]
+    bits = (bm[:, :, None] >> jnp.arange(32, dtype=jnp.uint32)) & 1
+    is_seen = bits.reshape(b, -1)[:, :v]
+    cols = jnp.arange(v, dtype=jnp.int32)
+    masked = jnp.where((is_seen == 1) | (cols[None, :] == 0), -jnp.inf, logits)
+    return jax.lax.top_k(masked, k)
+
+
+def filtered_masked_topk(logits: jnp.ndarray, seen_items: jnp.ndarray, k: int = 20):
+    """Same contract and results as `serving_masked_topk`, without ever
+    touching the [b, V] slab after the matmul: take the top-(k+S+1) of
+    the RAW logits (S = seen_items width, +1 for the padding column),
+    then drop winners that are seen or id 0 in a [b, k+S+1] op and
+    re-top-k. Exact, not approximate: at most S+1 winners can be
+    removed, so the surviving k are precisely the masked top-k, and
+    `lax.top_k`'s index-ascending tie order is preserved through both
+    passes. Motivation (measured, `results/r5_runs/serving_bench_r5.log`
+    stage rows at 1M x 64 x b256): the dense path's scatter-mask +
+    full-slab rewrite is 10.8 ms of its 12.3 ms total — the catalog
+    matmul itself is ~free — so masking in top-k space removes ~85% of
+    the artifact's cost."""
+    s = seen_items.shape[1]
+    kk = k + s + 1
+    if kk > logits.shape[1]:  # degenerate catalogs: the slab is tiny anyway
+        return serving_masked_topk(logits, seen_items, k=k)
+    vals, ids = jax.lax.top_k(logits, kk)
+    bad = jnp.any(ids[:, :, None] == seen_items[:, None, :], axis=-1) | (ids == 0)
+    vals = jnp.where(bad, -jnp.inf, vals)
+    fvals, floc = jax.lax.top_k(vals, k)
+    return fvals, jnp.take_along_axis(ids, floc, axis=1)
 
 
 def quantize_rows(x):
@@ -138,7 +204,7 @@ def chunked_masked_topk(state_pack, tables, logits_fn, seen_items, v: int,
 
 
 def build_scoring_fn(model, item_size: int, dtype: str = "float32", k: int = 20,
-                     quant: str | None = None, impl: str = "dense",
+                     quant: str | None = None, impl: str = "bitmask",
                      item_chunk: int = 65536):
     """The serving ranking computation as a pure fn of params.
 
@@ -148,14 +214,14 @@ def build_scoring_fn(model, item_size: int, dtype: str = "float32", k: int = 20,
     masking uses the serving contract (`serving_masked_topk`: seen and
     padding ids to -inf), not the eval path's reference-parity zeroing.
     `quant='int8'` swaps the catalog matmul for `int8_logits`.
-    `impl='chunked'` streams the catalog in `item_chunk` blocks
-    (`chunked_masked_topk`): same ranking, O(b * item_chunk) peak
-    instead of the O(b * V) logits slab whose write/read + full-width
-    top_k dominates big-catalog dense serving.
+    `impl` picks the masking/streaming layout — 'bitmask' (CLI
+    default, fastest measured), 'dense', 'filtered', 'chunked'; all
+    return identical rankings (see the module docstring's measured
+    matrix).
     """
     if quant not in (None, "int8"):
         raise ValueError(f"unknown serving quantization {quant!r}")
-    if impl not in ("dense", "chunked"):
+    if impl not in ("bitmask", "dense", "filtered", "chunked"):
         raise ValueError(f"unknown serving impl {impl!r}")
 
     def predict_and_table(mdl, ids, uids):
@@ -202,7 +268,10 @@ def build_scoring_fn(model, item_size: int, dtype: str = "float32", k: int = 20,
                 "bh,vh->bv", state.astype(dt), tbl.astype(dt),
                 preferred_element_type=jnp.float32,
             )
-        _, topk_idx = serving_masked_topk(logits, seen_items, k=k)
+        mask_topk = {"bitmask": bitmask_masked_topk,
+                     "filtered": filtered_masked_topk,
+                     "dense": serving_masked_topk}[impl]
+        _, topk_idx = mask_topk(logits, seen_items, k=k)
         return topk_idx
 
     return score_topk
@@ -211,7 +280,7 @@ def build_scoring_fn(model, item_size: int, dtype: str = "float32", k: int = 20,
 def export_scorer(model, params, item_size: int, max_len: int,
                   seen_width: int, path: str, dtype: str = "float32",
                   platforms=("cpu", "tpu"), quant: str | None = None,
-                  impl: str = "dense", item_chunk: int = 65536) -> dict:
+                  impl: str = "bitmask", item_chunk: int = 65536) -> dict:
     """Serialize the params-baked scorer to `path`; returns metadata.
 
     `quant='int8'`: the item table is quantized at export (the static

@@ -296,6 +296,48 @@ def test_seen_item_masking_contract_eval_vs_serving():
     assert np.isfinite(np.asarray(srv_vals)).all()  # enough real candidates
 
 
+def test_filtered_masked_topk_equals_dense_mask():
+    """`filtered_masked_topk` (unmasked top-(k+S+1), then an exact
+    [b, k+S+1] seen/padding filter — the fast serving default, motivated
+    by the stage decomposition showing the [b, V] scatter-mask is ~85%
+    of dense serving cost) must return EXACTLY `serving_masked_topk`'s
+    ids and values, including under heavy value ties at the selection
+    boundary and with duplicate/padded seen lists."""
+    import jax
+
+    from bsarec_tpu.serving import (
+        bitmask_masked_topk,
+        filtered_masked_topk,
+        serving_masked_topk,
+    )
+
+    v, b, k = 500, 8, 20
+    kl, ks = jax.random.split(jax.random.PRNGKey(1))
+    # quantize to ~13 levels so ties straddle the top-k boundary
+    logits = jnp.round(jax.random.normal(kl, (b, v)) * 3.0) / 3.0
+    seen = jax.random.randint(ks, (b, 5), 0, v, jnp.int32)
+    seen = jnp.concatenate([seen, seen[:, :2], jnp.zeros((b, 2), jnp.int32)], 1)
+
+    wv, wi = serving_masked_topk(logits, seen, k=k)
+    gv, gi = filtered_masked_topk(logits, seen, k=k)
+    np.testing.assert_array_equal(np.asarray(gi), np.asarray(wi))
+    np.testing.assert_array_equal(np.asarray(gv), np.asarray(wv))
+    # bitmask (the fast default: u32 bitmask + fused compare) — the
+    # duplicated seen rows above exercise the on-device dedupe that
+    # keeps its scatter-ADD an OR
+    bv, bi = bitmask_masked_topk(logits, seen, k=k)
+    np.testing.assert_array_equal(np.asarray(bi), np.asarray(wi))
+    np.testing.assert_array_equal(np.asarray(bv), np.asarray(wv))
+    # degenerate catalog (k+S+1 > V): filtered falls back to the dense
+    # mask; bitmask handles any V directly
+    small = logits[:, :24]
+    sv, si = filtered_masked_topk(small, seen % 24, k=k)
+    dv, di = serving_masked_topk(small, seen % 24, k=k)
+    np.testing.assert_array_equal(np.asarray(si), np.asarray(di))
+    bv2, bi2 = bitmask_masked_topk(small, seen % 24, k=k)
+    np.testing.assert_array_equal(np.asarray(bi2), np.asarray(di))
+
+
 def test_serving_chunked_impl_matches_dense(trained_bsarec, tmp_path):
     """The streaming serving path (`chunked_masked_topk`: per-chunk
     top-k over catalog blocks + final merge, no [b, V] logits slab)
@@ -309,6 +351,10 @@ def test_serving_chunked_impl_matches_dense(trained_bsarec, tmp_path):
 
     dense = build_scoring_fn(t.model, model_cfg.item_size)
     want = np.asarray(dense(t.params, ids, uids, seen))
+    for impl in ("filtered", "bitmask"):
+        alt = build_scoring_fn(t.model, model_cfg.item_size, impl=impl)
+        np.testing.assert_array_equal(
+            np.asarray(alt(t.params, ids, uids, seen)), want)
     for chunk in (7, 8, 64):  # ragged tail, power of two, single block
         chunked = build_scoring_fn(t.model, model_cfg.item_size,
                                    impl="chunked", item_chunk=chunk)
