@@ -298,11 +298,13 @@ def test_seen_item_masking_contract_eval_vs_serving():
 
 def test_filtered_masked_topk_equals_dense_mask():
     """`filtered_masked_topk` (unmasked top-(k+S+1), then an exact
-    [b, k+S+1] seen/padding filter — the fast serving default, motivated
-    by the stage decomposition showing the [b, V] scatter-mask is ~85%
-    of dense serving cost) must return EXACTLY `serving_masked_topk`'s
-    ids and values, including under heavy value ties at the selection
-    boundary and with duplicate/padded seen lists."""
+    [b, k+S+1] seen/padding filter) and `bitmask_masked_topk` (the fast
+    serving default: filtered measured 60 ms vs bitmask 7.9 ms at
+    1M x 64, `results/r5_runs/serving_bench_r5.log` — the wide top-k
+    over V costs more than the scatter it removes) must both return
+    EXACTLY `serving_masked_topk`'s ids and values, including under
+    heavy value ties at the selection boundary and with
+    duplicate/padded seen lists."""
     import jax
 
     from bsarec_tpu.serving import (
