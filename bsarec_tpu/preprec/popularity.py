@@ -60,12 +60,15 @@ class PopularityTable:
         t_max = self.table.shape[0] - 1
         window = times[..., None] + jnp.arange(self.nwin)  # [..., nwin]
         window = jnp.clip(window, 0, t_max)
-        # [..., nwin, base_dim] <- table[window, :, item]
-        feats = self.table[window]  # [..., nwin, base_dim, items+1]
-        item_ix = items[..., None, None, None]
-        feats = jnp.take_along_axis(
-            feats, jnp.broadcast_to(item_ix, feats.shape[:-1] + (1,)), axis=-1
-        )[..., 0]
+        # one joint gather over (period, item): [..., nwin, base_dim].
+        # Indexing period-then-item (table[window] followed by a
+        # take_along_axis) materializes [..., nwin, base_dim, items+1]
+        # first — at catalog scale that intermediate is O(V) per
+        # candidate (12.3 GB at a 1M-item eval sweep; compile-time
+        # bounds-check failure, results/r5_runs/preprec_scale_1m_fixed.log
+        # first attempt) even though the final result is tiny.
+        item_ix = jnp.broadcast_to(items[..., None], window.shape)
+        feats = self.table[window, :, item_ix]  # [..., nwin, base_dim]
         return feats.reshape(feats.shape[:-2] + (self.nwin * self.base_dim,))
 
 
