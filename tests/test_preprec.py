@@ -407,6 +407,40 @@ def test_mostpop_implicit_catalog_matches_explicit_loop():
     np.testing.assert_allclose(imp.mean(0), exp.mean(0), atol=0.5)
 
 
+def test_popularity_gather_lowers_without_catalog_sized_intermediate():
+    """Compile-time scale pin (round-5 regression): the popularity
+    gather must lower to a joint (period, item) gather whose
+    intermediates are result-sized. The old period-then-item indexing
+    (`table[window]` + take_along_axis) materialized
+    [batch, cands, nwin, base_dim, V+1] — 12.3 GB at a 1M-item eval
+    sweep, rejected by the TPU compiler's bounds check
+    (`results/r5_runs/preprec_scale_1m_fixed.log`). Lower for a
+    1M-item table (shapes only, no arrays) and assert no tensor type
+    carries both the candidate-batch dims and the catalog dim."""
+    import re
+
+    v = 1_000_000
+    table = PopularityTable(
+        jax.ShapeDtypeStruct((7, 11, v + 1), jnp.float32), 11, 3)
+
+    def gather(tbl, items, times):
+        return PopularityTable(tbl, 11, 3).gather(items, times)
+
+    lowered = jax.jit(gather).lower(
+        table.table,
+        jax.ShapeDtypeStruct((4, 64), jnp.int32),
+        jax.ShapeDtypeStruct((4, 64), jnp.int32),
+    )
+    text = lowered.as_text()
+    offenders = [
+        t for t in re.findall(r"tensor<[0-9x]+x[a-z0-9]+>", text)
+        if "1000001" in t and "4x64" in t
+    ]
+    assert not offenders, offenders
+    # the result itself is tiny: [4, 64, 33]
+    assert "tensor<4x64x33xf32>" in text
+
+
 def test_full_catalog_eval_streaming_matches_explicit(synth_dataset, tmp_path):
     """eval_method 3 never materializes [U, V]: candidates are the
     implicit [gt] + arange sweep and the gt rank accumulates over
