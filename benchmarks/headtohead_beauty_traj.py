@@ -3,8 +3,8 @@
 
 VERDICT r4 item 2(b): the reference program has never been run on
 Beauty on this machine. A full run to its natural early stop
-(~65 epochs, `src/output/BSARec_Beauty_best.log`) costs ~13 min/epoch
-on this 1-core CPU host — beyond one round's wall clock — so the
+(~65 epochs, `src/output/BSARec_Beauty_best.log`) costs ~5.8 min/epoch
+on this 1-core CPU host — ~6.5 h, beyond one round's wall clock — so the
 bounded evidence is the per-epoch VALIDATION trajectory: run
 `src/main.py --data_name Beauty` under a hard timeout and table its
 valid metrics at every epoch it reaches against (a) our round-4
@@ -53,8 +53,8 @@ def main():
             "All three runs: BSARec, c=5 alpha=0.7 lr=5e-4 heads=1 "
             "batch=256 dropout=0.5 seed=42 (the published winning config, "
             "`src/output/BSARec_Beauty_best.log:1`). The reference leg is "
-            "bounded by wall clock (13 min/epoch on this 1-core host; its "
-            "natural early stop is ~epoch 65), so this compares the "
+            "bounded by wall clock (~5.8 min/epoch on this 1-core host; its "
+            "natural early stop is ~epoch 65, a ~6.5 h run), so this compares the "
             "validation trajectory over the epochs it reached.\n\n"
             "## Validation metrics per epoch (valid split)\n\n"
             "| epoch | ref-this-machine NDCG@20 | ours NDCG@20 | "

@@ -126,6 +126,7 @@ def main():
     t0 = time.time()
     ranks = np.asarray(fn(tr.params, jax.random.PRNGKey(3), arrays))
     wall = time.time() - t0  # includes one compile
+    print(f"# first call (incl compile): {wall:.1f}s", flush=True)
     t0 = time.time()
     ranks = np.asarray(fn(tr.params, jax.random.PRNGKey(4), arrays))
     hot = time.time() - t0
