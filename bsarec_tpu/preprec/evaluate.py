@@ -316,6 +316,13 @@ def make_eval_fn(model, cfg: PrepRecConfig, pop_enc, eval_pop, batch: int,
                 n_better, n_tiedwin = carry
                 ids = 1 + c * item_chunk + jnp.arange(item_chunk, dtype=jnp.int32)
                 valid = ids <= itemnum
+                # clamp the tail-chunk padding ids BEFORE they reach any
+                # table gather: their scores are masked by `valid`, and
+                # out-of-bounds indices into catalog-scale tables must
+                # never be left to gather-mode clamping semantics (the
+                # 1M-item sweep faulted the TPU worker mid-execution,
+                # results/r5_runs/preprec_scale_20k.log)
+                ids = jnp.minimum(ids, itemnum)
                 cands = jnp.broadcast_to(ids[None, :], (state.shape[0], item_chunk))
                 s = score_cands(params, state, cands, ct1, ct2, users)
                 u = jax.random.uniform(jax.random.fold_in(chunk_key, c), s.shape)
@@ -336,6 +343,7 @@ def make_eval_fn(model, cfg: PrepRecConfig, pop_enc, eval_pop, batch: int,
 
             def chunk_body(_, c):
                 ids = 1 + c * item_chunk + jnp.arange(item_chunk, dtype=jnp.int32)
+                ids = jnp.minimum(ids, itemnum)  # see sweep_batch: no OOB gathers
                 cands = jnp.broadcast_to(ids[None, :], (state.shape[0], item_chunk))
                 return None, score_cands(params, state, cands, ct1, ct2, users)
 
