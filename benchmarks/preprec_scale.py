@@ -22,6 +22,14 @@ users via the internal scan; np.asarray forces real completion).
 
 Usage: python benchmarks/preprec_scale.py [--users 100000 --items 1000000
            --eval_batch 16 --item_chunk 8192 --maxlen 50]
+
+--dispatch_users N splits the sweep into host-level blocks of N users,
+one jit call per block (one shared compile). The monolithic
+all-users-in-one-scan dispatch runs for minutes at this scale and has
+twice faulted the tunneled TPU worker mid-execution even after the
+OOB-id clamp (preprec_scale_20k.log, preprec_scale_20k_v2.log) —
+identical HBM residency per block isolates dispatch *duration* as the
+fault trigger.
 """
 
 from __future__ import annotations
@@ -53,6 +61,8 @@ def main():
     ap.add_argument("--eval_batch", type=int, default=16)
     ap.add_argument("--item_chunk", type=int, default=8192)
     ap.add_argument("--hidden", type=int, default=50)
+    ap.add_argument("--dispatch_users", type=int, default=0,
+                    help="users per jit dispatch (0 = all in one scan)")
     args = ap.parse_args()
 
     from bsarec_tpu.preprec.config import PrepRecConfig, PrepRecTrainConfig
@@ -116,19 +126,44 @@ def main():
     # compiler's HLO upload limit at this scale (HTTP 413, round 5)
     arrays["pop_month"] = month.table
     arrays["pop_week"] = week.table
+    D = args.dispatch_users or U
+    n_blocks = -(-U // D)
     fn, steps = make_eval_fn(
-        tr.model, cfg, pop, None, args.eval_batch, U, V,
+        tr.model, cfg, pop, None, args.eval_batch, D, V,
         item_chunk=args.item_chunk,
     )
-    print(f"# sweep: {steps} user batches x {-(-V // args.item_chunk)} "
-          f"item chunks, backend={jax.default_backend()}", flush=True)
+    print(f"# sweep: {n_blocks} dispatches x {steps} user batches x "
+          f"{-(-V // args.item_chunk)} item chunks, "
+          f"backend={jax.default_backend()}", flush=True)
+
+    per_user = ("seqs", "t1", "t2", "te", "target", "cand_t1", "cand_t2",
+                "users")
+
+    def run(key):
+        out = []
+        for b in range(n_blocks):
+            lo = b * D
+            blk = dict(arrays)
+            for k in per_user:
+                sl = arrays[k][lo:lo + D]
+                if sl.shape[0] < D:  # pad tail block (fn trims via safe idx,
+                    # but shapes must match the compiled block size)
+                    sl = jnp.concatenate(
+                        [sl, jnp.repeat(sl[-1:], D - sl.shape[0], axis=0)])
+                blk[k] = sl
+            r = np.asarray(fn(tr.params, jax.random.fold_in(key, b), blk))
+            out.append(r[: min(D, U - lo)])
+            if b == 0:
+                print(f"# block 0/{n_blocks} done at {time.time()-t0:.1f}s",
+                      flush=True)
+        return np.concatenate(out)
 
     t0 = time.time()
-    ranks = np.asarray(fn(tr.params, jax.random.PRNGKey(3), arrays))
+    ranks = run(jax.random.PRNGKey(3))
     wall = time.time() - t0  # includes one compile
     print(f"# first call (incl compile): {wall:.1f}s", flush=True)
     t0 = time.time()
-    ranks = np.asarray(fn(tr.params, jax.random.PRNGKey(4), arrays))
+    ranks = run(jax.random.PRNGKey(4))
     hot = time.time() - t0
 
     assert ranks.shape == (U,) and (ranks >= 0).all() and (ranks <= V).all()
@@ -136,6 +171,7 @@ def main():
     print(json.dumps({
         "metric": "preprec_fullcatalog_eval", "users": U, "items": V,
         "eval_batch": args.eval_batch, "item_chunk": args.item_chunk,
+        "dispatch_users": D,
         "first_call_s": round(wall, 1), "hot_call_s": round(hot, 1),
         "users_per_sec": round(U / hot, 1),
         "mean_rank_frac": round(float(ranks.mean()) / V, 3),
