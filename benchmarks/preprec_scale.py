@@ -63,6 +63,10 @@ def main():
     ap.add_argument("--hidden", type=int, default=50)
     ap.add_argument("--dispatch_users", type=int, default=0,
                     help="users per jit dispatch (0 = all in one scan)")
+    ap.add_argument("--table_dtype", choices=["f32", "bf16"], default="f32",
+                    help="popularity-table storage dtype (bf16 halves the "
+                         "~500 MB of 1M-item table residency; features are "
+                         "upcast after the gather)")
     args = ap.parse_args()
 
     from bsarec_tpu.preprec.config import PrepRecConfig, PrepRecTrainConfig
